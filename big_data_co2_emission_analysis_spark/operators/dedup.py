@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest to most semantic:
+
+1. ``exact_dedup``       -- hash-groupBy on raw bytes (one shuffle).
+2. ``fingerprint_dedup`` -- exact on a normalized fingerprint
+                            (case/whitespace-insensitive).
+3. ``simhash``           -- 64-bit SimHash; near-dups differ in few bits.
+4. ``minhash_near_dup_pairs`` -- MinHash+LSH banding via pyspark.ml
+                            (shingle -> hashed term freq -> MinHashLSH
+                            -> banded bucket join), the scale path for
+                            pairwise Jaccard similarity.
+5. ``ngram_jaccard_pairs`` -- exact Jaccard on shared-shingle candidate
+                            pairs (inverted-index join; exact but
+                            quadratic in the worst case -- use after LSH
+                            blocking at 100 TB).
+
+The reference itself only *declares* duplicate handling (reference
+README.md:10 -- no dropDuplicates call exists in its code, SURVEY.md
+section 2.2); the engine makes it real and scales it.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal -- ``dropDuplicates`` (hash shuffle on the
+    subset columns; first row per key wins, nondeterministic which).
+    For a deterministic survivor use :func:`exact_dedup_keep_min`."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def exact_dedup_keep_min(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep the row with the smallest
+    ``order_col`` per key (window row_number -- one shuffle)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace: the fingerprint normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit hex fingerprint of normalized text (md5 -- stable across
+    engines and Spark versions, unlike hash())."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-format dedup: group by normalized fingerprint, keep min id."""
+    return exact_dedup_keep_min(
+        df.withColumn("__fp", fingerprint(text_col)), ["__fp"], id_col
+    ).drop("__fp")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(normalize_text(c), " ")
+    k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def simhash64(col: Column | str, n_shingles: int = 2) -> Column:
+    """64-bit SimHash over word shingles, fully JVM-side.
+
+    Per shingle: xxhash64 -> per-bit +/-1 votes -> majority sign per bit
+    -> packed 64-bit signature.  Near-duplicate texts land within a few
+    bits (compare with ``bit_count_xor``).  No Python boundary, no
+    shuffle -- a pure map, so it scales linearly.
+    """
+    shingles = word_shingles(col, n_shingles)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def bit_vote(b: int) -> Column:
+        # sum over shingles of (+1 if bit b set else -1)
+        mask = F.lit((1 << b) - (1 << 64) if b == 63 else 1 << b).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(
+            bit_vote(b) > 0,
+            F.lit((1 << b) - (1 << 64) if b == 63 else 1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count(xor))."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 16,
+    num_features: int = 1 << 18,
+    shingle_n: int = 3,
+    max_jaccard_distance: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pair mining (the Broder scheme, as
+    pyspark.ml implements it: MinHashLSH banding into hash tables,
+    bucket join, then exact-ish distance filter).
+
+    Returns (id_a, id_b, jaccard_distance) with id_a < id_b.  At scale
+    the bucket join is the only shuffle; candidate pairs never leave the
+    JVM.  Empty-shingle docs are dropped (MinHash undefined on empty
+    sets).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_distance")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle
+    (inverted-index self-join: explode shingles, join on shingle, count
+    intersections, |A union B| = |A| + |B| - |A intersect B|).
+
+    Exact but worst-case quadratic per hot shingle -- at 100 TB run it
+    *after* LSH/SimHash blocking, or salt hot shingles.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = shingled.select("id", F.size("shingles").alias("n_shingles"))
+    inv = shingled.select("id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    num_hash_tables: int = 4,
+    bucket_length: float = 2.0,
+) -> DataFrame:
+    """Embedding-cosine near-dup mining via random-projection LSH on
+    L2-normalized vectors (cosine sim = 1 - ||a_hat - b_hat||^2 / 2, so a
+    euclidean LSH join on normalized vectors bounds cosine).  Returns
+    (id_a, id_b, cosine)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    import math
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+        ).alias("nvec"),
+    ).filter(norm > 0)
+    max_euclid = math.sqrt(2.0 * (1.0 - min_cosine))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nvec", outputCol="hashes", numHashTables=num_hash_tables,
+        bucketLength=bucket_length, seed=42,
+    )
+    model = lsh.fit(normed)
+    pairs = model.approxSimilarityJoin(normed, normed, max_euclid, distCol="euclid")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (1 - F.col("euclid") * F.col("euclid") / 2).alias("cosine"),
+        )
+    )

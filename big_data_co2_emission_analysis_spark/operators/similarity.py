@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three strategies, one semantic (cosine top-k):
+
+- ``brute_force_topk`` -- exact.  Query set broadcast, corpus scanned
+  once, per-query heap via window row_number.  The 100 TB shape: the
+  corpus stays partitioned, queries (small) move to the data.
+- ``lsh_topk``          -- BucketedRandomProjectionLSH on normalized
+  vectors: sublinear candidate generation, then exact re-rank.
+- ``ivf_topk``          -- IVF-style: k-means coarse quantizer, probe
+  the ``nprobe`` nearest centroids, exact search inside probed cells.
+
+All distance math is JVM-side higher-order array functions -- no Python
+boundary in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _d(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(_d(col), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k for every query: broadcast the query set,
+    one corpus scan, per-query top-k heap.
+
+    Returns (query_id, vec_id, cosine, rank).  Cosine ties break on
+    vec_id for determinism.
+    """
+    q = F.broadcast(queries.select(query_id, query_vec))
+    scored = corpus.crossJoin(q).select(
+        query_id,
+        corpus_id,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _normalize_to_vector(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    norm = l2_norm(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("raw"),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)).alias("nvec"),
+    ).filter(norm > 0)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    num_hash_tables: int = 4,
+    bucket_length: float = 1.0,
+    max_euclid: float = 1.2,
+) -> DataFrame:
+    """Approximate cosine top-k via euclidean LSH on L2-normalized
+    vectors (||a_hat-b_hat||^2 = 2 - 2cos), then exact re-rank of the
+    candidates.  ``max_euclid=1.2`` admits candidates down to cosine
+    ~0.28; tighten for higher-recall corpora."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    c = _normalize_to_vector(corpus, corpus_id, corpus_vec)
+    q = _normalize_to_vector(queries, query_id, query_vec)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nvec", outputCol="hashes", numHashTables=num_hash_tables,
+        bucketLength=bucket_length, seed=42,
+    )
+    model = lsh.fit(c)
+    cand = model.approxSimilarityJoin(c, q, max_euclid, distCol="euclid").select(
+        F.col("datasetB.id").alias(query_id),
+        F.col("datasetA.id").alias(corpus_id),
+        (1 - F.col("euclid") * F.col("euclid") / 2).alias("cosine"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    seed: int = 1,
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse quantizer over the corpus, each
+    query probes its ``nprobe`` nearest cells, exact cosine inside.
+
+    The cell assignment is a one-off index build (like training an IVF
+    index); the search joins query->probed cells (broadcast) and scans
+    only matching partitions.  Recall grows with nprobe; nprobe=n_cells
+    degenerates to brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("vec"),
+        array_to_vector(_d(F.col(corpus_vec))).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("id", "vec", "cell")
+
+    # centroid table (tiny) -> broadcast; each query scores all centroids
+    # and keeps nprobe nearest (euclidean on raw vectors).
+    centers = model.clusterCenters()
+    centroids = c.sparkSession.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)], "cell int, cvec array<double>"
+    )
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "qid",
+        "qvec",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select("qid", "qvec", "cell")
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias(corpus_id),
+        cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,104 @@
+"""Non-SQL-expressible queries: ML pipeline (k-means), LSH near-dup,
+ANN similarity, SimHash.  Registered without oracles -> the driver
+records rows-only checks; exact semantics are unit-tested with planted
+fixtures in tests/ (SURVEY.md section 5 point 3: assert invariants, not
+bit-exact assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.clustering import assemble_features, cluster_summary, fit_kmeans
+from ..operators.dedup import minhash_near_dup_pairs, simhash64
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from .co2_shaped import user_change_df
+from .registry import register
+
+
+@register("kmeans_user_change", oracle=None, tags=("ml",))
+def kmeans_user_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's ML leg (M1-M4) on the fixture-derived
+    change table: assemble ['change','is_reduced'] -> KMeans(k=5,
+    seed=1) -> assignment (reference project-co2.py:36-69)."""
+    base = user_change_df(spark, sf_dir)
+    feats = assemble_features(base, ["change", "is_reduced"])
+    model = fit_kmeans(feats, k=5, seed=1)
+    return model.transform(feats).select("user_id", "change", "is_reduced", "cluster")
+
+
+@register("kmeans_cluster_ranges", oracle=None, tags=("ml",))
+def kmeans_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster min/max + native label (reference A1+U1->X3,
+    project-co2.py:130-132)."""
+    assigned = kmeans_user_change(spark, sf_dir)
+    return cluster_summary(assigned, value_col="change", cluster_col="cluster")
+
+
+@register("kmeans_embeddings", oracle=None, tags=("ml", "vector"))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (the IVF coarse quantizer)."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias("features"),
+    )
+    model = fit_kmeans(emb, k=8, seed=1)
+    return model.transform(emb).select("vec_id", "label", "cluster")
+
+
+@register("minhash_near_dups", oracle=None, tags=("dedup",))
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (jaccard distance
+    <= 0.7 -- the fixture corpus is random word-salad, so only genuinely
+    similar docs pair up; planted-duplicate tests pin the semantics)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hash_tables=8, max_jaccard_distance=0.7
+    )
+
+
+@register("simhash_signatures", oracle=None, tags=("dedup",))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (deterministic: xxhash64 seed fixed by
+    Spark; pure map-side, no shuffle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+@register("ann_lsh_top10", oracle=None, tags=("vector", "similarity"))
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors for 5 query vectors via
+    random-projection LSH; recall vs brute force is unit-tested."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_topk(corpus, queries, k=10)
+
+
+@register("ann_ivf_top10", oracle=None, tags=("vector", "similarity"))
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (k-means cells + nprobe search) for 5 queries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries, k=10, n_cells=8, nprobe=3)
+
+
+@register("knn_bruteforce_multi", oracle=None, tags=("vector", "similarity"))
+def knn_bruteforce_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 for 5 queries (the recall baseline for
+    the two ANN variants above)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(corpus, queries, k=10)

@@ -1,0 +1,165 @@
+"""Text-analysis queries over the `documents` fixture (the LLM-data-
+pipeline surface: token stats, quality signals, fingerprints, exact
+dedup).  Near-dup (MinHash/SimHash/LSH) lives in mlops.py as rows-only
+checks with planted-duplicate unit tests in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._exact import davg, sql_davg
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Per-document stats: char/token counts + a normalization fingerprint
+# (lowercase, collapse whitespace, md5) used for exact near-format dedup.
+# --------------------------------------------------------------------------
+@register(
+    "doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS len_chars,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("len_chars"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus rollup per language.
+# --------------------------------------------------------------------------
+@register(
+    "lang_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "agg"),
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            davg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication groups: hash the raw text, keep the smallest doc_id
+# per group (deterministic survivor).  At 100 TB this is the shuffle-once
+# hash-groupBy dedup; group count == distinct count verifies it.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT MD5(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY MD5(text)
+    ORDER BY text_hash
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .orderBy("text_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality signals: punctuation / digit / whitespace ratios and mean token
+# length -- the standard cheap filters in front of a training-data
+# pipeline.  All expressed as JVM-side regexp_replace length deltas.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS BIGINT) AS n_spaces,
+           CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE)
+             / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    no_space = F.regexp_replace(text, r"\s", "")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", ""))).cast("long").alias("n_punct"),
+            (F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("long").alias("n_digits"),
+            (F.length(text) - F.length(no_space)).cast("long").alias("n_spaces"),
+            (F.length(no_space).cast("double") / n_tokens).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token frequency: explode + count (the word-count shape; at scale a
+# two-level partial aggregation that Catalyst plans automatically).
+# --------------------------------------------------------------------------
+@register(
+    "top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "agg"),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,0 +1,125 @@
+"""Source readers (reference SURVEY.md section 2.1, S1-S3).
+
+The reference loads one CSV with ``header=true, inferSchema=true``
+(reference project-co2.py:87) and a variant with ``escape="@"``
+(reference BigData_Mayur.py:20).  Schema inference is a 2-pass scan --
+an anti-pattern at 100 TB -- so every reader here accepts an explicit
+``StructType`` and the CO2 table ships one (`CO2_WIDE_SCHEMA`).
+
+Parquet is the engine's primary columnar format: vectorized reader,
+predicate pushdown, column pruning, partition pruning all apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables the synthetic star-schema fixture ships (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Explicit schema for the reference's wide CO2 table
+#: (one row per country, one double column per year 1960-2019, plus the
+#: phantom trailing-comma column `_c64`; see SURVEY.md section 1).
+CO2_YEARS = [str(y) for y in range(1960, 2020)]
+CO2_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("Country Name", T.StringType(), False),
+        T.StructField("Country Code", T.StringType(), False),
+        T.StructField("Indicator Name", T.StringType(), True),
+        T.StructField("Indicator Code", T.StringType(), True),
+        *[T.StructField(y, T.DoubleType(), True) for y in CO2_YEARS],
+        T.StructField("_c64", T.StringType(), True),
+    ]
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+    escape: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (S1/S2).  Explicit ``schema`` beats ``infer_schema``
+    (inference forces an extra full pass over the data)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    if escape is not None:
+        reader = reader.option("escape", escape)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_co2_csv(spark: SparkSession, path: str, edited: bool = True) -> DataFrame:
+    """Read the World Bank wide CO2 table (reference project-co2.py:87).
+
+    ``edited=True`` expects the header-first file (the reference's
+    ``co2-dataset-edited.csv``).  ``edited=False`` handles the raw WDI
+    export (``co2-dataset.csv``): two metadata lines + blank lines before
+    the header.  The raw path stays DataFrame-native -- read as text,
+    drop preamble lines, parse with ``from_csv`` -- no driver-side loop,
+    so it scales to arbitrarily many files.
+    """
+    if edited:
+        return read_csv(spark, path, schema=CO2_WIDE_SCHEMA, header=True)
+
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in CO2_WIDE_SCHEMA)
+    lines = spark.read.text(path)
+    data = lines.filter(
+        ~F.col("value").rlike('^"?(Data Source|Last Updated Date|Country Name)')
+        & (F.trim(F.col("value")) != "")
+    )
+    parsed = data.select(F.from_csv(F.col("value"), ddl).alias("r")).select("r.*")
+    return parsed
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its timestamp encoding.
+
+    The fixture's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS) which Spark's reader rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long
+    nanoseconds, which we floor-divide to microseconds (integer ``div``
+    -- a double division would lose precision above 2^53) and rebuild a
+    timestamp, matching DuckDB's nanos->micros truncation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ts becomes TimestampType (tz-sensitive); pin UTC so wall-clock
+    # comparisons match naive-timestamp engines regardless of the
+    # caller's session timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan -- vectorized, pushdown-capable (the scale default)."""
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load the fixture star schema from ``{sf_dir}/{name}.parquet``."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
