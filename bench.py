@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + full execution (count of the
+result), after a session warm-up action so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "region_revenue",
+    "priority_revenue",
+    "customer_order_counts",
+    "top_orders",
+    "top_customers_per_segment",
+    "rollup_flag_status",
+    "distinct_parts_per_flag",
+    # events / time
+    "events_hourly_counts",
+    "user_session_counts",
+    "user_change",
+    # text / dedup
+    "doc_stats",
+    "dedup_exact_groups",
+    "top_tokens",
+    # vectors
+    "knn_cosine_top10",
+    "embedding_norms",
+]
+
+
+def main() -> None:
+    from big_data_co2_emission_analysis_spark.queries import all_queries
+    from big_data_co2_emission_analysis_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session("bench")
+    # warm-up: JVM + parquet footer reads off the clock
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Multimodal-column queries (rows-only: the decode stub's output is
+not SQL-expressible; the plumbing semantics are unit-tested in
+tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_media_columns, extract_features, sample_frames
+from .registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return attach_media_columns(docs)
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction (mapInPandas)
+    with the deterministic fake decoder."""
+    feats = extract_features(_media(spark, sf_dir), fake_decode=True)
+    return feats.select("doc_id", "feat_norm", F.size("features").alias("feat_dim"))
+
+
+@register("multimodal_frame_samples", oracle=None, tags=("multimodal",))
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload -> 4 frame slices per doc."""
+    frames = sample_frames(_media(spark, sf_dir), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame_bytes").cast("long").alias("frame_len")
+    )
+
+
+@register("multimodal_metadata_stats", oracle=None, tags=("multimodal",))
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the media struct column."""
+    return (
+        _media(spark, sf_dir)
+        .groupBy(F.col("media_meta.media_type").alias("media_type"), F.col("media_meta.format").alias("format"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("media_meta.size_bytes").alias("total_bytes"),
+            F.max("media_meta.width").alias("max_width"),
+        )
+        .orderBy("media_type", "format")
+    )

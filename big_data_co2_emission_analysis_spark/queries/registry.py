@@ -52,6 +52,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def all_queries() -> dict[str, QueryDef]:
     """Import all query modules and return the registry."""
     # Imports deferred so registration happens exactly once on first use.
-    from . import co2_shaped, mlops, relational, text_queries, vector_queries  # noqa: F401
+    from . import (  # noqa: F401
+        co2_shaped,
+        mlops,
+        multimodal_queries,
+        relational,
+        streaming_queries,
+        text_queries,
+        vector_queries,
+    )
 
     return dict(_REGISTRY)

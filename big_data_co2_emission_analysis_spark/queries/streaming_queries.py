@@ -1,0 +1,98 @@
+"""Structured Streaming queries run to completion over the bounded
+events fixture (availableNow trigger + memory sink), so the driver can
+treat them like batch queries.
+
+streaming_hourly_counts and streaming_sliding_counts ARE
+oracle-checked: a windowed streaming aggregation over a bounded source,
+run to completion in complete mode, must equal the equivalent batch
+GROUP BY -- that's the batch-parity contract of Structured Streaming.
+Watermark/late-data *dropping* behavior can't be expressed in a batch
+oracle and is unit-tested in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import (
+    read_events_stream,
+    run_to_completion,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+from ._exact import sql_dsum
+from .registry import register
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle=f"""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(tumbling_counts(stream, "1 hour"), output_mode="complete")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("hour_start", "event_type")
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle=f"""
+    WITH contrib AS (
+      SELECT DATE_TRUNC('hour', ts) AS win_start, event_type, value FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type, value FROM events
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM contrib
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding hourly: each event contributes to exactly
+    two windows (the oracle materializes both contributions with a
+    UNION ALL)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(sliding_counts(stream, "2 hours", "1 hour"), output_mode="complete")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+@register("streaming_session_windows", oracle=None, tags=("streaming",))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user.  Session merge
+    semantics aren't batch-SQL-expressible; the session *count* per
+    user is cross-checked against the batch lag+cumsum sessionization
+    in tests/test_streaming.py."""
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(session_windows(stream, "30 minutes"), output_mode="complete")
+    return result.select(
+        "user_id",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")

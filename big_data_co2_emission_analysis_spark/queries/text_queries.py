@@ -141,6 +141,38 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token frequency: explode + count (the word-count shape; at scale a
 # two-level partial aggregation that Catalyst plans automatically).
 # --------------------------------------------------------------------------
+@register("lang_id_heuristic", oracle=None, tags=("text",))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the labeled lang column; accuracy
+    on crafted texts is unit-tested (the fixture corpus is random word
+    salad, so agreement there is not meaningful)."""
+    from ..functions.text import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@register("quality_scores", oracle=None, tags=("text",))
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic + BPE-ish subword token estimate +
+    rolling xxhash64 fingerprint -- all native expressions."""
+    from ..functions.text import bpe_ish_token_count, quality_score, rolling_fingerprint
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+            rolling_fingerprint("text").alias("fingerprint64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "top_tokens",
     oracle="""

@@ -1,0 +1,127 @@
+"""Structured Streaming surface (SURVEY.md section 2.12: absent in the
+reference, added by the engine because its data contract ships an
+`events` stream table).
+
+Batch parity: every streaming aggregation here has a batch twin in
+queries/relational.py (events_hourly_counts etc.); running the stream
+to completion over the same files must produce the same rows -- that
+equivalence is both unit-tested and oracle-checked via the
+streaming_* registry entries.
+
+At scale: the same code reads Kafka instead of files by swapping
+``readStream.format``; watermarks bound state, and the windowed
+aggregations are incremental (partial aggregation per trigger).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources.readers.read_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """FileStreamSource monitors a *directory*; the fixture ships a
+    single flat file, so stage a hardlink/copy of it into a temp dir
+    (once per fixture per process).  In production the source is a real
+    landing directory (or Kafka) and this shim disappears."""
+    if sf_dir not in _STAGED_DIRS:
+        import os
+        import shutil
+
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        src = os.path.join(sf_dir, "events.parquet")
+        dst = os.path.join(staged, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        _STAGED_DIRS[sf_dir] = staged
+    return _STAGED_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.  The nanos `ts` is
+    read as long (schema pins it) and rebuilt as a timestamp, exactly
+    like the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_stage_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count+sum per event type with a watermark
+    bounding state (late rows beyond the watermark are dropped)."""
+    from ..queries._exact import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window_size/slide
+    overlapping windows."""
+    from ..queries._exact import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the
+    batch lag+cumsum sessionization in queries/relational.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation over a bounded source to its final
+    state via an availableNow trigger + memory sink; returns the result
+    as a batch DataFrame.  Used for batch-parity checks and the
+    streaming_* oracle queries."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = agg.sparkSession
+        # materialize before the checkpoint dir vanishes
+        result = spark.table(name).localCheckpoint(eager=True)
+    return result

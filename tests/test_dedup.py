@@ -1,0 +1,97 @@
+"""Planted-duplicate tests for the near-dup operators: MinHash+LSH,
+SimHash, n-gram Jaccard, fingerprint dedup, embedding-cosine pairs.
+
+The sf fixtures are random word salad (no real near-dups), so semantics
+are pinned here with corpora where the ground truth is known.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    fingerprint_dedup,
+    hamming64,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun near the garden"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one token changed
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE)], "doc_id long, text string"
+    )
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(word_shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_minhash_finds_planted_pairs(corpus):
+    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", max_jaccard_distance=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_distance"] for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == 0.0  # exact dup
+    assert (0, 1) in got and got[(0, 1)] < 0.5  # near dup
+    assert (0, 2) not in got and (1, 2) not in got  # unrelated
+
+
+def test_simhash_distance_ordering(corpus):
+    sigs = {r["doc_id"]: r["sig"] for r in corpus.select("doc_id", simhash64("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[3]  # identical text -> identical signature
+    spark = corpus.sparkSession
+    d = spark.createDataFrame([(sigs[0], sigs[1], sigs[2])], "a long, b long, c long")
+    row = d.select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert row["near"] < row["far"]
+    assert row["near"] <= 12  # one-token edit flips few bits
+    assert row["far"] >= 20
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", min_jaccard=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == pytest.approx(1.0)
+    # 24 tokens -> 22 distinct 3-gram shingles; the one changed token
+    # touches 3 shingles per side -> J = 19 / (22 + 22 - 19) = 19/25
+    assert got[(0, 1)] == pytest.approx(19 / 25, abs=1e-9)
+    assert (0, 2) not in got
+
+
+def test_fingerprint_dedup_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "goodbye")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in fingerprint_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 4]
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<float>")
+    pairs = embedding_near_dup_pairs(df, "id", "v", min_cosine=0.95, bucket_length=4.0)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(p == (0, 1) for p in got)

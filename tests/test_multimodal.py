@@ -1,0 +1,55 @@
+"""Multimodal plumbing: schema, batch shape, determinism of the fake
+decoder, frame sampling, and that the real decode path fails loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_media_columns,
+    decode_image_batch,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    return attach_media_columns(docs)
+
+
+def test_media_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["media_bytes"] == "binary"
+    assert fields["media_meta"].startswith("struct<media_type:string")
+
+
+def test_extract_features_shape_and_determinism(media):
+    feats = extract_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(r["feat_norm"] >= 0 for r in rows)
+    rows2 = extract_features(media, fake_decode=True).collect()
+    assert sorted(r["feat_norm"] for r in rows) == sorted(r["feat_norm"] for r in rows2)
+
+
+def test_real_decode_is_loud():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch([b"xx"], fake=False)
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, n_frames=4)
+    per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 4 for r in per_doc)
+    idx = frames.select("frame_idx").distinct().collect()
+    assert sorted(r["frame_idx"] for r in idx) == [0, 1, 2, 3]
+
+
+def test_metadata_size_matches_payload(media):
+    rows = media.select(
+        F.length("media_bytes").alias("a"), F.col("media_meta.size_bytes").alias("b")
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)

@@ -1,0 +1,69 @@
+"""Registry contract sanity: unique names, oracle keys subset, entry()
+smoke, approximate-aggregate accuracy envelope."""
+
+import pytest
+
+
+def test_registry_shape():
+    import __spark_entry__ as mod
+
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 50
+    assert set(os_) <= set(qs)
+    # every oracle references at least one fixture table
+    tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+    for name, sql in os_.items():
+        assert any(t in sql for t in tables), name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_approx_count_distinct_envelope(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.queries.relational import (
+        approx_distinct_parts,
+        distinct_parts_per_flag,
+    )
+
+    exact = {r["l_returnflag"]: r["n_parts"] for r in distinct_parts_per_flag(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r["approx_parts"] for r in approx_distinct_parts(spark, sf_dir).collect()}
+    for k, e in exact.items():
+        assert approx[k] == pytest.approx(e, rel=0.05)
+
+
+def test_sample_envelope(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.queries.relational import sample_lineitem
+
+    n_total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_sample = sample_lineitem(spark, sf_dir).count()
+    assert 0.05 * n_total < n_sample < 0.15 * n_total
+    # seeded: stable across invocations on the same partitioning
+    assert sample_lineitem(spark, sf_dir).count() == n_sample
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.queries.mlops import kmeans_user_change
+
+    assigned = kmeans_user_change(spark, sf_dir)
+    rows = assigned.collect()
+    assert all(r["cluster"] is not None for r in rows)
+    n_clusters = len({r["cluster"] for r in rows})
+    assert 1 < n_clusters <= 5
+
+
+def test_elbow_sweep_monotone_trend(spark, sf_dir):
+    """Cost at k=8 must be well below cost at k=2 (not strictly
+    monotone per step, but the sweep must trend down)."""
+    from big_data_co2_emission_analysis_spark.ml.clustering import assemble_features, elbow_sweep
+    from big_data_co2_emission_analysis_spark.queries.co2_shaped import user_change_df
+
+    base = assemble_features(user_change_df(spark, sf_dir), ["change", "is_reduced"])
+    points = elbow_sweep(base, ks=range(2, 9, 2), sample_fraction=None)
+    costs = [p.cost for p in points]
+    assert costs[-1] < costs[0]

@@ -1,0 +1,102 @@
+"""Recall tests for the three similarity-search strategies against a
+corpus with known structure: LSH and IVF candidates must agree with the
+brute-force baseline on clearly-separated neighbors."""
+
+import math
+import random
+
+import pytest
+
+from big_data_co2_emission_analysis_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 16
+N_CLUSTERS = 4
+PER_CLUSTER = 25
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """4 well-separated direction clusters; within-cluster cosine >>
+    cross-cluster cosine."""
+    rng = random.Random(7)
+    centers = []
+    for c in range(N_CLUSTERS):
+        v = [0.0] * DIM
+        for i in range(DIM // N_CLUSTERS * c, DIM // N_CLUSTERS * (c + 1)):
+            v[i] = 1.0
+        centers.append(v)
+    rows = []
+    vid = 0
+    for c, center in enumerate(centers):
+        for _ in range(PER_CLUSTER):
+            vec = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, c, vec))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(c, centers[c]) for c in range(N_CLUSTERS)], "query_id long, qv array<float>"
+    )
+    return corpus, queries
+
+
+def brute_ids(corpus, queries, k):
+    out = {}
+    for r in brute_force_topk(corpus, queries, k=k).collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_brute_force_finds_own_cluster(planted):
+    corpus, queries = planted
+    top = brute_force_topk(corpus, queries, k=10).collect()
+    clusters = {r["vec_id"]: r["cluster"] for r in corpus.collect()}
+    for r in top:
+        assert clusters[r["vec_id"]] == r["query_id"]  # query c built from center c
+        assert r["cosine"] > 0.9
+
+
+def test_brute_force_rank_is_dense_and_ordered(planted):
+    corpus, queries = planted
+    rows = brute_force_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [x[0] for x in ranks] == [1, 2, 3, 4, 5]
+        cos = [x[1] for x in ranks]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(planted):
+    corpus, queries = planted
+    exact = brute_ids(corpus, queries, 10)
+    approx = {}
+    for r in lsh_topk(corpus, queries, k=10, num_hash_tables=8, bucket_length=2.0).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_recall_vs_brute_force(planted):
+    corpus, queries = planted
+    exact = brute_ids(corpus, queries, 10)
+    approx = {}
+    for r in ivf_topk(corpus, queries, k=10, n_cells=N_CLUSTERS, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_cosine_math_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert got == pytest.approx(1 / math.sqrt(2), abs=1e-9)

@@ -1,0 +1,110 @@
+"""Structured Streaming semantics: batch parity for windowed aggs,
+session-count parity with the batch sessionization, and watermark
+late-data dropping (the part no batch oracle can express)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.queries._exact import dsum
+from big_data_co2_emission_analysis_spark.sources.readers import read_events
+from big_data_co2_emission_analysis_spark.streaming.windows import (
+    read_events_stream,
+    run_to_completion,
+    session_windows,
+    tumbling_counts,
+)
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream_res = run_to_completion(
+        tumbling_counts(read_events_stream(spark, sf_dir), "1 hour"), "complete"
+    ).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    batch_res = (
+        read_events(spark, sf_dir)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+    assert sorted(map(tuple, stream_res.collect())) == sorted(map(tuple, batch_res.collect()))
+
+
+def test_session_window_count_parity(spark, sf_dir):
+    """Total sessions from streaming session_window == batch
+    lag+cumsum sessionization (same 30-min gap rule)."""
+    from big_data_co2_emission_analysis_spark.queries.relational import user_session_counts
+
+    stream_sessions = run_to_completion(
+        session_windows(read_events_stream(spark, sf_dir), "30 minutes"), "complete"
+    )
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in stream_sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch_counts = {r["user_id"]: r["n_sessions"] for r in user_session_counts(spark, sf_dir).collect()}
+    assert stream_counts == batch_counts
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_rows(spark):
+    """Two micro-batches: batch 2 carries an event 3 hours older than
+    the watermark frontier set by batch 1 -> its window must NOT appear
+    in append-mode output, while a within-delay late event must."""
+    src = tempfile.mkdtemp(prefix="late_src_")
+    try:
+        base = "2024-01-01 "
+        batch1 = [(1, base + "10:00:05", "a"), (2, base + "10:59:59", "a")]
+        # 10:30 is within the 30-min watermark delay (frontier 10:29:59)
+        # after batch1; 07:00:00 is hours past it
+        batch2 = [(3, base + "07:00:00", "late"), (4, base + "10:30:00", "a"), (5, base + "11:30:00", "a")]
+
+        def write_batch(rows, name):
+            df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+                "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+            )
+            df.coalesce(1).write.mode("append").parquet(src)
+
+        write_batch(batch1, "b1")
+        stream = spark.readStream.schema("event_id long, ts timestamp, event_type string").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+        sink = f"late_sink_{os.getpid()}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_batch(batch2, "b2")
+            q.processAllAvailable()
+            # force final watermark-advance emission with one more batch
+            write_batch([(6, base + "14:00:00", "a")], "b3")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(f"SELECT * FROM {sink}")
+        hours = {
+            (r["win"]["start"].strftime("%H"), r["event_type"], r["n"]) for r in out.collect()
+        }
+        assert ("07", "late", 1) not in hours  # dropped: beyond watermark
+        assert ("10", "a", 3) in hours  # includes the within-delay late row
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
