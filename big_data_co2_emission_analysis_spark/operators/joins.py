@@ -1,0 +1,91 @@
+"""Join operators beyond plain equi-joins: as-of (time-series point
+lookup) and banded range joins -- the two shapes Spark lacks natively
+(guide: "Common OLAP patterns").
+
+Both are built from shuffle-friendly primitives:
+
+- ``as_of_join``: union + window last-non-null.  ONE shuffle on
+  (keys, ts) total, regardless of table sizes -- the scalable form of
+  pandas merge_asof.  No per-group Python, no broadcast requirement.
+- ``range_join_banded``: equi-join on a coarse bucket key + residual
+  range predicate -- turns an O(n*m) theta join into a co-partitioned
+  hash join with per-bucket filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the values of
+    the latest right row with ``right.ts <= left.ts`` within the same
+    ``by_cols`` group (a right row at the exact same timestamp matches).
+
+    Implementation: tag both sides, union by name, then take a running
+    ``last(non-null struct)`` over (by_cols ORDER BY ts, tag) -- right
+    rows sort before left rows at equal ts, so ties match.  The struct
+    keeps the right row atomic: either all of its values attach or none
+    (per-column last() could stitch together different right rows when
+    some values are null).
+    """
+    rv = F.struct(*[F.col(c) for c in value_cols], F.col(ts_col).alias("__rts"))
+    r_tagged = right.select(*by_cols, F.col(ts_col), rv.alias("__rv")).withColumn(
+        "__tag", F.lit(0)
+    )
+    l_tagged = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(r_tagged.schema["__rv"].dataType)
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(*by_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn("__last_rv", F.last("__rv", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1).drop("__tag", "__rv")
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("__last_rv")[c])
+    return out.withColumn(f"{ts_col}{suffix}", F.col("__last_rv")["__rts"]).drop("__last_rv")
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join ``right_lo <= left_val < right_hi`` via banding: both
+    sides bucketize by ``band_width``, equi-join on the bucket, then
+    apply the exact range predicate.  Shuffles on the bucket key
+    instead of degenerating into a nested-loop join.
+
+    ``band_width`` should be >= the typical (hi - lo) span; each right
+    row lands in ceil(span / band_width) + 1 buckets.
+    """
+    bucket = lambda c: F.floor(F.col(c) / band_width)  # noqa: E731
+    l_b = left.withColumn("__bucket", bucket(left_val))
+    r_b = (
+        right.withColumn("__buckets", F.sequence(bucket(right_lo), bucket(right_hi)))
+        .withColumn("__bucket", F.explode("__buckets"))
+        .drop("__buckets")
+    )
+    cond = (
+        (l_b["__bucket"] == r_b["__bucket"])
+        & (F.col(left_val) >= F.col(right_lo))
+        & (F.col(left_val) < F.col(right_hi))
+    )
+    return l_b.join(r_b, cond, how).drop("__bucket")

@@ -1,0 +1,216 @@
+"""Advanced relational coverage: as-of join, banded range join,
+GROUPING SETS (via the SQL API), exact percentiles, array aggregation,
+equi+range predicate joins.  All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import as_of_join
+from ..sources.readers import read_events
+from ._exact import dsum, sql_dsum
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# As-of join: for each purchase event, the user's most recent prior
+# click.  DuckDB's native ASOF JOIN is the oracle; the Spark side uses
+# the union+window implementation (single shuffle -- see
+# operators/joins.py).
+# --------------------------------------------------------------------------
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.value AS click_value,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof"),
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join(purchases, clicks, ts_col="ts", by_cols=["user_id"], value_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_right").alias("click_value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Banded range join: parts into price bands.  The band dim is tiny and
+# inlined on both sides; the Spark operator buckets + equi-joins rather
+# than nested-looping.
+# --------------------------------------------------------------------------
+# fixture prices span [900, 1000); 25-wide bands give 4 populated groups
+PRICE_BANDS = [(0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0)]
+_BANDS_SQL = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+    SELECT b.band_id, COUNT(*) AS n_parts, {sql_dsum('p.p_retailprice')} AS total_price
+    FROM part p
+    JOIN (VALUES {_BANDS_SQL}) b(band_id, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_banded
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bands = spark.createDataFrame(PRICE_BANDS, "band_id int, lo double, hi double")
+    joined = range_join_banded(part, bands, "p_retailprice", "lo", "hi", band_width=25.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS through the SQL API (same Catalyst plan as the
+# DataFrame rollup/cube; exposes the engine's SQL surface).
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@register("grouping_sets_qty", oracle=_GROUPING_SETS_SQL, tags=("agg", "sql"))
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated), rounded to 6 dp to absorb the
+# engines' different interpolation arithmetic order.
+# --------------------------------------------------------------------------
+@register(
+    "quartiles_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS median,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def quartiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("median"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("q3"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("approx_quartiles_per_flag", oracle=None, tags=("agg", "percentile", "approx"))
+def approx_quartiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch): the single-pass
+    mergeable variant for 100 TB; accuracy envelope unit-tested."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation: collect per-order line numbers (sorted for
+# determinism) + array functions over the result.
+# --------------------------------------------------------------------------
+@register(
+    "order_line_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           LIST(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           CAST(LEN(LIST(l_linenumber)) AS BIGINT) AS n_lines,
+           CAST(LIST_CONTAINS(LIST(l_linenumber), 1) AS BOOLEAN) AS has_first
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("agg", "array"),
+)
+def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "l_orderkey",
+            "line_numbers",
+            "n_lines",
+            F.array_contains("line_numbers", 1).alias("has_first"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi + range predicate join: same-brand part pairs within 50.0 of
+# each other's price.  The brand equi-key does the blocking (hash
+# join); the price band is a residual filter -- the scalable way to
+# express "similar items" joins.
+# --------------------------------------------------------------------------
+@register(
+    "brand_price_pairs",
+    oracle="""
+    SELECT a.p_brand, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND ABS(a.p_retailprice - b.p_retailprice) <= 50.0
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+    tags=("join", "range"),
+)
+def brand_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("ka"), F.col("p_retailprice").alias("pa")
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand_b"), F.col("p_partkey").alias("kb"), F.col("p_retailprice").alias("pb")
+    )
+    pairs = a.join(
+        b,
+        (a["p_brand"] == b["brand_b"]) & (a["ka"] < b["kb"]) & (F.abs(a["pa"] - b["pb"]) <= 50.0),
+    )
+    return pairs.groupBy("p_brand").agg(F.count("*").alias("n_pairs")).orderBy("p_brand")

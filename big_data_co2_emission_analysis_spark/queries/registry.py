@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
     """Import all query modules and return the registry."""
     # Imports deferred so registration happens exactly once on first use.
     from . import (  # noqa: F401
+        advanced,
         co2_shaped,
         mlops,
         multimodal_queries,

@@ -1,0 +1,68 @@
+"""Plan-shape guardrails: assert pushdown, pruning, broadcast choice,
+and top-k strategy survive refactors.  These are the properties that
+decide 100 TB behavior; results alone can't catch their regression."""
+
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.plans.inspect import (
+    assert_columns_pruned,
+    assert_filter_pushed,
+    codegen_stage_count,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+)
+from big_data_co2_emission_analysis_spark.queries.relational import (
+    part_filter_isin,
+    pricing_summary,
+    region_revenue,
+    top_orders,
+)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    # the shipdate predicate must reach the parquet scan
+    assert_filter_pushed(df, "l_shipdate")
+    # 7 of 11 lineitem columns read (the plan needs exactly 7)
+    assert_columns_pruned(df, "l_quantity", max_cols=7)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_isin_filter_pushed(spark, sf_dir):
+    df = part_filter_isin(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "p_brand" in filters and "p_size" in filters
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    df = region_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # orders scan must only read the join key + measure
+    assert_columns_pruned(df, "o_custkey", max_cols=2)
+
+
+def test_top_orders_uses_heap_not_global_sort(spark, sf_dir):
+    assert has_take_ordered(top_orders(spark, sf_dir))
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """left_semi must not degrade into inner join + distinct."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries.relational import semi_join_segments
+
+    plan = explain_formatted(semi_join_segments(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_dir):
+    """Hot-path queries must stay JVM-side: no BatchEvalPython (row
+    Python UDF) or ArrowEvalPython stages in any oracle-checked plan."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries import all_queries
+
+    for name, qd in all_queries().items():
+        if qd.oracle is None or "streaming" in qd.tags:
+            continue
+        plan = explain_formatted(qd.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
