@@ -87,27 +87,34 @@ def simhash64(col: Column | str, n_shingles: int = 2) -> Column:
     -> packed 64-bit signature.  Near-duplicate texts land within a few
     bits (compare with ``bit_count_xor``).  No Python boundary, no
     shuffle -- a pure map, so it scales linearly.
+
+    Single ``aggregate`` pass with an array-of-64-counters accumulator:
+    one compact expression tree (a 64-aggregate formulation takes
+    Catalyst ~20s to analyze and re-walks the shingle array per bit).
     """
     shingles = word_shingles(col, n_shingles)
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-
-    def bit_vote(b: int) -> Column:
-        # sum over shingles of (+1 if bit b set else -1)
-        mask = F.lit((1 << b) - (1 << 64) if b == 63 else 1 << b).cast("long")
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bits = [
-        F.when(
-            bit_vote(b) > 0,
-            F.lit((1 << b) - (1 << 64) if b == 63 else 1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+    # signed 64-bit masks, one per bit (bit 63 wraps to the sign bit)
+    masks = F.array(
+        *[
+            F.lit((1 << b) - (1 << 64) if b == 63 else 1 << b).cast("long")
+            for b in range(64)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
