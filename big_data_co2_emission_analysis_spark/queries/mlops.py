@@ -69,6 +69,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+@register("embedding_near_dups", oracle=None, tags=("dedup", "vector"))
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-projection LSH on
+    L2-normalized vectors; approximate -> rows-only, recall pinned by
+    planted-pair unit tests.  Threshold 0.4 matches the fixture corpus
+    (random embeddings; max pairwise cosine ~0.51 -- production near-dup
+    mining would use ~0.95)."""
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
+
+
 @register("ann_lsh_top10", oracle=None, tags=("vector", "similarity"))
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors for 5 query vectors via

@@ -138,6 +138,75 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-format dedup survivors: group by normalized fingerprint
+# (lowercase + collapsed whitespace -> md5), keep the smallest doc_id.
+# One window shuffle; deterministic survivor (vs dropDuplicates'
+# first-row-wins nondeterminism).
+# --------------------------------------------------------------------------
+@register(
+    "fingerprint_dedup_survivors",
+    oracle=r"""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def fingerprint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint, fingerprint_dedup
+
+    kept = fingerprint_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return kept.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+# (explode shingles -> join on shingle -> |A ∩ B| / |A ∪ B|).  The
+# exact counterpart of minhash_near_dups; DuckDB recomputes the same
+# shingling with list functions.
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, LIST_DISTINCT(
+        LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+                       i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, LEN(shingles) AS n, UNNEST(shingles) AS shingle
+      FROM sh WHERE LEN(shingles) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING jaccard >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "dedup"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # Token frequency: explode + count (the word-count shape; at scale a
 # two-level partial aggregation that Catalyst plans automatically).
 # --------------------------------------------------------------------------
