@@ -183,6 +183,111 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates: stddev/variance/correlation/covariance --
+# single-pass mergeable moments (partial+final hash agg), rounded to
+# 6 dp to absorb accumulation-algorithm ULP differences across engines.
+# --------------------------------------------------------------------------
+@register(
+    "brand_price_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           ROUND(STDDEV_SAMP(p_retailprice), 6) AS sd_price,
+           ROUND(VAR_SAMP(p_retailprice), 6) AS var_price,
+           ROUND(CORR(p_retailprice, p_size), 6) AS corr_price_size,
+           ROUND(COVAR_SAMP(p_retailprice, p_size), 6) AS covar_price_size,
+           ROUND(COVAR_POP(p_retailprice, p_size), 6) AS covar_pop_price_size
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("agg", "stats"),
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("p_retailprice"), 6).alias("sd_price"),
+            F.round(F.var_samp("p_retailprice"), 6).alias("var_price"),
+            F.round(F.corr("p_retailprice", "p_size"), 6).alias("corr_price_size"),
+            F.round(F.covar_samp("p_retailprice", "p_size"), 6).alias("covar_price_size"),
+            F.round(F.covar_pop("p_retailprice", "p_size"), 6).alias("covar_pop_price_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution-rank windows: ntile / percent_rank / cume_dist,
+# partitioned by market segment (a global un-partitioned window is a
+# single-task bottleneck at scale; the segment key keeps it parallel).
+# Ties broken by c_custkey for cross-engine determinism.
+# --------------------------------------------------------------------------
+@register(
+    "customer_balance_ntiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("window",),
+)
+def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: trailing-30-day revenue per order priority.  RANGE
+# frames include all peer rows at equal order keys, so the result is
+# deterministic under date ties (a ROWS frame would not be); the sum
+# accumulates in decimal for order-independence (_exact.py).
+# --------------------------------------------------------------------------
+@register(
+    "trailing_priority_revenue",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_revenue
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "range"),
+)
+def trailing_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d_revenue
+        FROM orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Equi + range predicate join: same-brand part pairs within 50.0 of
 # each other's price.  The brand equi-key does the blocking (hash
 # join); the price band is a residual filter -- the scalable way to
