@@ -31,10 +31,20 @@ HEADLINE = [
     "events_hourly_counts",
     "user_session_counts",
     "user_change",
+    # windows / stats / percentiles
+    "running_supplier_qty",
+    "brand_price_stats",
+    "quartiles_per_flag",
+    # joins beyond equi
+    "asof_click_before_purchase",
     # text / dedup
     "doc_stats",
     "dedup_exact_groups",
     "top_tokens",
+    "simhash_signatures",
+    "minhash_near_dups",
+    "minhash_banded_near_dups",
+    "ngram_jaccard_pairs",
     # vectors
     "knn_cosine_top10",
     "embedding_norms",

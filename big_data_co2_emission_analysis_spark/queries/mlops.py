@@ -61,6 +61,19 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("minhash_banded_near_dups", oracle=None, tags=("dedup",))
+def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled MinHash banding (shingle -> k minhashes -> b bands ->
+    bucket-join -> exact-Jaccard candidate verification); the
+    custom-operator counterpart of minhash_near_dups (pyspark.ml),
+    ~2x faster at sf0.1 with the codegen-friendly columnar signature.
+    Recall vs exact ngram_jaccard_pairs is unit-tested."""
+    from ..operators.dedup import minhash_banded_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_banded_pairs(docs, "doc_id", "text", min_jaccard=0.3)
+
+
 @register("simhash_signatures", oracle=None, tags=("dedup",))
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (deterministic: xxhash64 seed fixed by

@@ -74,6 +74,19 @@ def test_ngram_jaccard_exact_values(corpus):
     assert (0, 2) not in got
 
 
+def test_minhash_banded_finds_planted_pairs(corpus):
+    from big_data_co2_emission_analysis_spark.operators.dedup import minhash_banded_pairs
+
+    pairs = minhash_banded_pairs(corpus, "doc_id", "text", min_jaccard=0.3)
+    got = {(r["id_a"], r["id_b"]): r for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)]["jaccard"] == pytest.approx(1.0)  # exact dup
+    # exact jaccard on verified candidates matches the ngram ground truth
+    assert (0, 1) in got and got[(0, 1)]["jaccard"] == pytest.approx(19 / 25, abs=1e-9)
+    # signature estimate within ~3 stderr (1/sqrt(32))
+    assert got[(0, 1)]["est_jaccard"] == pytest.approx(19 / 25, abs=0.55)
+    assert (0, 2) not in got and (1, 2) not in got  # unrelated
+
+
 def test_fingerprint_dedup_whitespace_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "goodbye")],
