@@ -59,6 +59,42 @@ def as_of_join(
     return out.withColumn(f"{ts_col}{suffix}", F.col("__last_rv")["__rts"]).drop("__last_rv")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: a hot key that would pin one reducer is
+    split across ``num_salts`` tasks.  Left rows get a salt in
+    [0, num_salts); right rows are replicated once per salt; the join
+    key becomes (keys..., salt), so each hot key's rows spread over
+    num_salts partitions.
+
+    AQE's skew-join split (on by default in get_session) handles most
+    skew at runtime by splitting oversized partitions; explicit salting
+    remains the tool when a SINGLE key exceeds an executor (AQE cannot
+    split one key) or when AQE is unavailable (e.g. inside a cached
+    stage).  Cost: right side inflated num_salts-fold -- use with a
+    small-to-medium right side.
+
+    The salt is derived from a whole-row hash of the left side --
+    deterministic for a given row content, uniform across rows.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # a replicated right side would surface its unmatched rows once
+        # per salt under right/full joins
+        raise ValueError(f"salted_join supports inner/left-flavored joins, got {how!r}")
+    salt_l = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(num_salts))
+    l_salted = left.withColumn("__salt", salt_l)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<long>"))
+    )
+    out = l_salted.join(r_salted, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def range_join_banded(
     left: DataFrame,
     right: DataFrame,

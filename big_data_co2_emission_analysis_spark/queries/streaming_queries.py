@@ -82,6 +82,37 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0)), 6) AS sum_value,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to
+    completion.  The bounded fixture is one file -> one micro-batch ->
+    the single 'update' row per user IS the final state, which must
+    equal the batch GROUP BY (the oracle).  Float sums rounded to 6 dp
+    (pandas pairwise summation vs sequential oracle ULPs)."""
+    from ..streaming.windows import stateful_user_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(stateful_user_stats(stream), output_mode="update")
+    return result.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    ).orderBy("user_id")
+
+
 @register("streaming_session_windows", oracle=None, tags=("streaming",))
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user.  Session merge

@@ -105,6 +105,52 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def stateful_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful per-user aggregator via ``applyInPandasWithState``
+    -- the sanctioned extension point when built-in windowed aggregation
+    can't express the state machine (here: running count / value sum /
+    max-timestamp per user, carried in explicit GroupState across
+    micro-batches).
+
+    The built-in equivalent (groupBy(user).agg(...)) covers THIS
+    reduction; the operator exists to pin the plumbing -- state schema,
+    Arrow batch iteration, timeout handling -- that a real custom
+    state machine (ML feature decay, CEP, per-entity rate limits)
+    builds on.  State is per-key and partition-local: one shuffle on
+    user_id, state store updates are incremental per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double, last_ts timestamp"
+    state_schema = "n long, s double, mx timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            batch_max = pdf["ts"].max()
+            mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_ts": [mx]}
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over a bounded source to its final
     state via an availableNow trigger + memory sink; returns the result

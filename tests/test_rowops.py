@@ -89,3 +89,19 @@ def test_label_native_vs_udf_parity(spark):
         ua, ub = r["u"].split(" - ")
         na, nb = r["n"].split(" - ")
         assert float(ua) == float(na) and float(ub) == float(nb)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change inner/left equi-join results."""
+    from big_data_co2_emission_analysis_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    right = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(right, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, right, ["o_custkey"], num_salts=8).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    left_plain = orders.join(right, "o_custkey", "left").count()
+    left_salted = salted_join(orders, right, ["o_custkey"], num_salts=8, how="left").count()
+    assert left_plain == left_salted

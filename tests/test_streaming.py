@@ -108,3 +108,20 @@ def test_watermark_drops_late_rows(spark):
         assert ("10", "a", 3) in hours  # includes the within-delay late row
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_dir):
+    """applyInPandasWithState final state == batch groupBy totals."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import stateful_user_stats
+
+    res = run_to_completion(
+        stateful_user_stats(read_events_stream(spark, sf_dir)), "update"
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in res.collect()}
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()}
+    assert got == want
