@@ -55,6 +55,48 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join must shuffle ONCE (on the window
+    partition key), not per-side -- its whole point at scale."""
+    from big_data_co2_emission_analysis_spark.operators.joins import as_of_join
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.sources.readers import read_events
+
+    events = read_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join(purchases, clicks, ts_col="ts", by_cols=["user_id"], value_cols=["value"])
+    import re
+
+    plan = explain_formatted(joined)
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_shuffles == 1, f"as-of join should shuffle once, saw {n_shuffles}"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_range_join_banded_is_hash_join(spark, sf_dir):
+    """Banding must turn the range predicate into an equi-join on the
+    bucket key -- never a nested-loop/cartesian plan."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries.advanced import range_join_price_bands
+
+    plan = explain_formatted(range_join_price_bands(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_minhash_banded_signature_stays_codegen(spark, sf_dir):
+    """The k-minhash hot loop must be plain aggregate columns (codegen),
+    not higher-order lambdas: no ArrayTransform inside the agg stage."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import minhash_banded_pairs
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_formatted(minhash_banded_pairs(docs, "doc_id", "text"))
+    # the signature aggregation appears as 32 min() aggregate exprs
+    assert plan.count("min(__v") == 32 or "min(__v0" in plan
+
+
 def test_no_python_udf_in_relational_plans(spark, sf_dir):
     """Hot-path queries must stay JVM-side: no BatchEvalPython (row
     Python UDF) or ArrowEvalPython stages in any oracle-checked plan."""

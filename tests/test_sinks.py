@@ -1,0 +1,42 @@
+"""Parquet sink: round-trip fidelity, partitioned layout, and
+partition pruning on read-back (the property that makes partition_by
+worth its write-side shuffle at 100 TB)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+from big_data_co2_emission_analysis_spark.sources.writers import write_parquet
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_rt")
+    write_parquet(src, out)
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_prio")
+    write_parquet(src, out, partition_by=["o_orderpriority"])
+    # hive-style directory per partition value
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == 5
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = explain_formatted(back)
+    # the partition predicate must prune directories, not filter rows
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    n_urgent = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == n_urgent
+
+
+def test_max_records_per_file_splits(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")  # 5 rows
+    out = str(tmp_path / "region_split")
+    write_parquet(src.coalesce(1), out, max_records_per_file=2)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 3  # ceil(5/2)
