@@ -58,8 +58,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_session("bench")
-    # warm-up: JVM + parquet footer reads off the clock
+    # warm-up: JVM, codegen, and parquet file-index/footer reads off the
+    # clock (limit(1) touches no data pages and caches nothing)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from big_data_co2_emission_analysis_spark.sources.readers import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t == "events":
+            continue  # nanos-encoded; read through sources.readers.read_events
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
 
     qs = all_queries()
     times: dict[str, float] = {}
