@@ -183,6 +183,95 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Map-typed column surface: build, size, key/value extraction.  (The
+# reference's data model is flat -- SURVEY.md section 1 notes no
+# map/array types anywhere -- so this covers the engine's type-system
+# extension.)  DuckDB's MAP[key] yields a single-element LIST, hence
+# the [1] subscript in the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "part_attr_map",
+    oracle="""
+    SELECT p_partkey,
+           MAP(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_v,
+           MAP(['brand', 'type'], [p_brand, p_type])['type'][1] AS type_v,
+           CAST(CARDINALITY(MAP(['brand', 'type'], [p_brand, p_type])) AS INT) AS n_attrs
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("map", "types"),
+)
+def part_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.element_at(m, "type").alias("type_v"),
+        F.size(m).alias("n_attrs"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-preserving set ops: EXCEPT ALL / INTERSECT ALL (bag
+# semantics -- a custkey with 3 orders total and 1 urgent order
+# survives EXCEPT ALL twice).
+# --------------------------------------------------------------------------
+@register(
+    "set_except_all_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_custkey
+    """,
+    tags=("set",),
+)
+def set_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    all_keys = orders.select("o_custkey")
+    urgent_keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return all_keys.exceptAll(urgent_keys).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Positional window values: first/last/nth over an explicit full-frame
+# (default frame ends at CURRENT ROW, which silently breaks last_value
+# -- the full-frame spec is the correctness-critical part).
+# --------------------------------------------------------------------------
+@register(
+    "supplier_positional_window",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           FIRST_VALUE(s_name) OVER w AS first_name,
+           LAST_VALUE(s_name) OVER w AS last_name,
+           NTH_VALUE(s_name, 2) OVER w AS second_name
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY s_suppkey
+    """,
+    tags=("window",),
+)
+def supplier_positional_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy("s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("first_name"),
+        F.last("s_name").over(w).alias("last_name"),
+        F.nth_value("s_name", 2).over(w).alias("second_name"),
+    ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
 # Statistical aggregates: stddev/variance/correlation/covariance --
 # single-pass mergeable moments (partial+final hash agg), rounded to
 # 6 dp to absorb accumulation-algorithm ULP differences across engines.
