@@ -30,6 +30,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into
+    ``num_buckets`` files by ``bucket_cols`` at WRITE time, so a join
+    or aggregation on those keys later runs with NO shuffle exchange
+    (both sides arrive pre-partitioned; sort_cols additionally
+    pre-sorts for sort-merge joins).
+
+    This is the pay-once-shuffle-many-times primitive for a 100 TB
+    fact table joined repeatedly on the same key.  Plan proof:
+    tests/test_sinks.py asserts the bucketed-join plan has no
+    Exchange.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def to_pandas_cached(df: DataFrame):
     """Arrow-backed collect for the pandas/plot tail.
 

@@ -40,3 +40,28 @@ def test_max_records_per_file_splits(spark, sf_dir, tmp_path):
     write_parquet(src.coalesce(1), out, max_records_per_file=2)
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) >= 3  # ceil(5/2)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO shuffle exchanges -- the pay-once primitive for repeated joins
+    on a 100 TB fact table."""
+    import re
+
+    from big_data_co2_emission_analysis_spark.sources.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    try:
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = explain_formatted(joined)
+        n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_shuffles == 0, f"bucketed join should not shuffle, saw {n_shuffles}:\n{plan[:800]}"
+        # join result parity with the plain (shuffling) join
+        plain = orders.join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
