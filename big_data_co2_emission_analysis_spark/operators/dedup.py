@@ -78,7 +78,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     holds short (n-1)-grams; the final ``slice`` to k drops them.
     """
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.split(normalize_text(c), " ")
+    # empty/whitespace-only text splits to [""] -- drop it, or every
+    # empty doc shares one bogus "" shingle (a hot key at corpus scale)
+    tokens = F.filter(F.split(normalize_text(c), " "), lambda x: x != "")
     k = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
     acc = tokens
     for j in range(1, n):

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+edge cases are easy to miss with fixtures: as-of join vs a brute-force
+reference, shingling vs a Python reference, salted-join parity on
+random key distributions (including the all-rows-one-key skew case).
+
+Spark jobs cost ~0.2 s per example, so example counts are deliberately
+small; shrinking still produces minimal counterexamples on failure.
+"""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_co2_emission_analysis_spark.operators.dedup import word_shingles
+from big_data_co2_emission_analysis_spark.operators.joins import as_of_join, salted_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_T0 = datetime(2024, 1, 1)
+
+
+def _py_asof(left_rows, right_rows):
+    """Brute-force backward as-of reference: latest right with
+    r.ts <= l.ts in the same group."""
+    out = {}
+    for gid, lts, lid in left_rows:
+        best = None
+        for rgid, rts, rval in right_rows:
+            if rgid == gid and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, rval)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-999, 999)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    left_rows = [(g, _T0 + timedelta(seconds=ts), i) for i, (g, ts) in enumerate(left)]
+    right_rows = [(g, _T0 + timedelta(seconds=ts), float(v)) for g, ts, v in right]
+    ldf = spark.createDataFrame(left_rows, "g long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(right_rows, "g long, ts timestamp, v double") if right_rows else spark.createDataFrame(
+        [], "g long, ts timestamp, v double"
+    )
+    got = {
+        r["lid"]: r["v_right"]
+        for r in as_of_join(ldf, rdf, ts_col="ts", by_cols=["g"], value_cols=["v"]).collect()
+    }
+    want = _py_asof(
+        [(g, ts, i) for g, ts, i in left_rows], [(g, ts, v) for g, ts, v in right_rows]
+    )
+    # ties at equal (g, ts) on the right: any of the tied values is a
+    # valid "latest" -- compare against the set of valid answers
+    valid = {}
+    for lid, (g, lts, _) in zip(want.keys(), left_rows):
+        cands = [v for (rg, rts, v) in right_rows if rg == g and rts <= lts]
+        best_ts = max((rts for (rg, rts, _) in right_rows if rg == g and rts <= lts), default=None)
+        valid[lid] = {v for (rg, rts, v) in right_rows if rg == g and rts == best_ts} or {None}
+    assert set(got) == set(valid)
+    for lid in got:
+        assert got[lid] in valid[lid], f"lid={lid}: {got[lid]} not in {valid[lid]}"
+
+
+def _py_shingles(text, n):
+    toks = " ".join(text.lower().strip().split()).split(" ")
+    if toks == [""]:
+        return []
+    out, seen = [], set()
+    for i in range(max(len(toks) - n + 1, 0)):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    n=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_word_shingles_match_python_reference(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["s"] for r in df.select("i", word_shingles("t", n).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, n), f"text={t!r} n={n}"
+
+
+@given(
+    keys=st.lists(st.integers(0, 2), min_size=1, max_size=20),
+    n_right=st.integers(0, 3),
+)
+@settings(**_SETTINGS)
+def test_salted_join_parity_random_skew(spark, keys, n_right):
+    """Salting preserves inner-join multiplicity for any key skew
+    (including every left row on one hot key)."""
+    ldf = spark.createDataFrame([(k, i) for i, k in enumerate(keys)], "k long, lid long")
+    rdf = (
+        spark.createDataFrame([(k, 100 + k) for k in range(n_right)], "k long, rv long")
+        if n_right
+        else spark.createDataFrame([], "k long, rv long")
+    )
+    plain = sorted(
+        (r["lid"], r["rv"]) for r in ldf.join(rdf, "k").collect()
+    )
+    salted = sorted(
+        (r["lid"], r["rv"]) for r in salted_join(ldf, rdf, ["k"], num_salts=4).collect()
+    )
+    assert plain == salted
