@@ -705,6 +705,35 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Schema-on-read JSON: from_json with an explicit struct schema (typed
+# extraction in one parse, vs get_json_object's per-path re-parse --
+# the right call when several fields come out of the same payload).
+# --------------------------------------------------------------------------
+@register(
+    "events_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(JSON_VALID(props) AS BOOLEAN) AS parsed_ok
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("json",),
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = F.from_json("props", "k bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k_typed"),
+            parsed.isNotNull().alias("parsed_ok"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch tumbling-window aggregation over the event stream table (the
 # streaming module runs the same logic incrementally with a watermark).
 # --------------------------------------------------------------------------
