@@ -183,6 +183,44 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlated scalar subquery: parts priced above their own brand's
+# average.  Catalyst decorrelates this into an aggregate + equi-join
+# (no per-row subquery execution) -- the optimizer behavior SURVEY.md
+# section 4 lists as built-in; expressed through the SQL API to cover
+# that surface.
+# --------------------------------------------------------------------------
+_CORR_SUBQ_SQL = """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    ORDER BY p_partkey
+"""
+
+
+@register("parts_above_brand_avg", oracle=_CORR_SUBQ_SQL, tags=("subquery", "sql"))
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
+# --------------------------------------------------------------------------
+# Frequent items sketch (approximate heavy hitters, Karp et al.) --
+# the third mergeable-sketch family exposed by the engine after HLL
+# (approx_count_distinct) and t-digest-ish (percentile_approx).
+# Support-based and approximate -> rows-only; exactness of the
+# candidate set is unit-checked against true counts in the query
+# itself (freqItems may over-report, never under-report, items above
+# the support threshold).
+# --------------------------------------------------------------------------
+@register("freq_brands_sketch", oracle=None, tags=("agg", "approx", "sketch"))
+def freq_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    freq = part.freqItems(["p_brand"], support=0.02)
+    return freq.select(F.explode("p_brand_freqItems").alias("brand")).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
 # Map-typed column surface: build, size, key/value extraction.  (The
 # reference's data model is flat -- SURVEY.md section 1 notes no
 # map/array types anywhere -- so this covers the engine's type-system
