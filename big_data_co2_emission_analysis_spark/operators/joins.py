@@ -59,6 +59,44 @@ def as_of_join(
     return out.withColumn(f"{ts_col}{suffix}", F.col("__last_rv")["__rts"]).drop("__last_rv")
 
 
+def as_of_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side: collapse the right
+    table to one row per group (a time-sorted array of (ts, values)
+    structs), broadcast-join it on ``by_cols``, and pick each left
+    row's match map-side with array ops.
+
+    The big left side is never shuffled -- the winning plan when right
+    is a dimension-style series (rates, settings, calibrations) that
+    fits the broadcast threshold.  Per-left-row cost is O(|group
+    series|) (linear array filter; fine for the dim-sized series this
+    targets).  For right sides too big to broadcast use
+    :func:`as_of_join` (one shuffle, any size).
+    """
+    entry = F.struct(F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols])
+    series = (
+        right.groupBy(*by_cols)
+        .agg(F.sort_array(F.collect_list(entry)).alias("__series"))
+    )
+    joined = left.join(F.broadcast(series), on=by_cols, how="left")
+    # latest entry with entry.ts <= left.ts (ties: entries sort by ts
+    # then values, element_at(-1) takes the greatest -- matching the
+    # union+window variant's last-wins tie behavior)
+    lts = F.col(ts_col)
+    # try_element_at: NULL (not ANSI error) on empty/missing series
+    match = F.try_element_at(F.filter("__series", lambda e: e["__rts"] <= lts), F.lit(-1))
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", match[c])
+    return out.withColumn(f"{ts_col}{suffix}", match["__rts"]).drop("__series")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -74,6 +74,25 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_asof_broadcast_never_shuffles_left(spark, sf_dir):
+    """The broadcast as-of variant may shuffle only the (small) right
+    side's groupBy; the left fact table stays map-side."""
+    import re
+
+    from big_data_co2_emission_analysis_spark.operators.joins import as_of_join_broadcast
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.sources.readers import read_events
+
+    events = read_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join_broadcast(purchases, clicks, ts_col="ts", by_cols=["user_id"], value_cols=["value"])
+    plan = explain_formatted(joined)
+    assert "BroadcastHashJoin" in plan
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_shuffles <= 1, f"only the right-side groupBy may shuffle, saw {n_shuffles}"
+
+
 def test_range_join_banded_is_hash_join(spark, sf_dir):
     """Banding must turn the range predicate into an equi-join on the
     bucket key -- never a nested-loop/cartesian plan."""

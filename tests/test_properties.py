@@ -13,7 +13,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from big_data_co2_emission_analysis_spark.operators.dedup import word_shingles
-from big_data_co2_emission_analysis_spark.operators.joins import as_of_join, salted_join
+from big_data_co2_emission_analysis_spark.operators.joins import (
+    as_of_join,
+    as_of_join_broadcast,
+    salted_join,
+)
 
 _SETTINGS = dict(
     max_examples=8,
@@ -55,23 +59,20 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     rdf = spark.createDataFrame(right_rows, "g long, ts timestamp, v double") if right_rows else spark.createDataFrame(
         [], "g long, ts timestamp, v double"
     )
-    got = {
-        r["lid"]: r["v_right"]
-        for r in as_of_join(ldf, rdf, ts_col="ts", by_cols=["g"], value_cols=["v"]).collect()
-    }
-    want = _py_asof(
-        [(g, ts, i) for g, ts, i in left_rows], [(g, ts, v) for g, ts, v in right_rows]
-    )
     # ties at equal (g, ts) on the right: any of the tied values is a
     # valid "latest" -- compare against the set of valid answers
     valid = {}
-    for lid, (g, lts, _) in zip(want.keys(), left_rows):
-        cands = [v for (rg, rts, v) in right_rows if rg == g and rts <= lts]
+    for g, lts, lid in left_rows:
         best_ts = max((rts for (rg, rts, _) in right_rows if rg == g and rts <= lts), default=None)
         valid[lid] = {v for (rg, rts, v) in right_rows if rg == g and rts == best_ts} or {None}
-    assert set(got) == set(valid)
-    for lid in got:
-        assert got[lid] in valid[lid], f"lid={lid}: {got[lid]} not in {valid[lid]}"
+    for impl in (as_of_join, as_of_join_broadcast):
+        got = {
+            r["lid"]: r["v_right"]
+            for r in impl(ldf, rdf, ts_col="ts", by_cols=["g"], value_cols=["v"]).collect()
+        }
+        assert set(got) == set(valid), impl.__name__
+        for lid in got:
+            assert got[lid] in valid[lid], f"{impl.__name__} lid={lid}: {got[lid]} not in {valid[lid]}"
 
 
 def _py_shingles(text, n):
