@@ -183,6 +183,50 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD2 / CDC history (operators/scd2.py): the Spark side builds the
+# dimension from pre-1997 orders, then APPLIES the 1997+ orders as a
+# CDC batch; the oracle builds the whole history in one window pass.
+# Equality proves replay consistency (build(prefix) + apply(suffix)
+# == build(all)) -- the MERGE INTO emulation contract.
+# --------------------------------------------------------------------------
+_SCD2_CUTOFF = "1997-01-01"
+
+
+@register(
+    "scd2_customer_order_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    tags=("scd2", "cdc", "window"),
+)
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply, scd2_build
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast(orders.schema["o_orderdate"].dataType)
+    initial = orders.filter(F.col("o_orderdate") < cutoff)
+    updates = orders.filter(F.col("o_orderdate") >= cutoff)
+    dim = scd2_build(initial, ["o_custkey"], "o_orderdate", order_cols=["o_orderkey"])
+    merged = scd2_apply(dim, updates, ["o_custkey"], "o_orderdate", order_cols=["o_orderkey"])
+    return merged.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_custkey", "valid_from", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
 # Correlated scalar subquery: parts priced above their own brand's
 # average.  Catalyst decorrelates this into an aggregate + equi-join
 # (no per-row subquery execution) -- the optimizer behavior SURVEY.md

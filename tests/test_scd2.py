@@ -1,0 +1,87 @@
+"""SCD2/CDC semantics on crafted change streams: version chaining,
+multiple updates per batch, out-of-order (late) updates, and the
+closed-history-untouched guarantee."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_build,
+    scd2_current,
+)
+
+
+def _d(s):
+    return datetime.date.fromisoformat(s)
+
+
+def _rows(df):
+    return sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in df.collect()
+    )
+
+
+def test_build_chains_versions(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a", _d("2024-01-01")),
+            (1, "b", _d("2024-02-01")),
+            (2, "x", _d("2024-01-15")),
+        ],
+        "k long, attr string, ts date",
+    )
+    dim = scd2_build(changes, ["k"], "ts")
+    assert _rows(dim) == [
+        (1, "a", "2024-01-01", "2024-02-01"),
+        (1, "b", "2024-02-01", "None"),
+        (2, "x", "2024-01-15", "None"),
+    ]
+    cur = scd2_current(dim)
+    assert sorted((r["k"], r["attr"]) for r in cur.collect()) == [(1, "b"), (2, "x")]
+
+
+def test_apply_multiple_and_late_updates(spark):
+    initial = spark.createDataFrame(
+        [(1, "a", _d("2024-01-01")), (1, "b", _d("2024-02-01"))],
+        "k long, attr string, ts date",
+    )
+    dim = scd2_build(initial, ["k"], "ts")
+    updates = spark.createDataFrame(
+        [
+            (1, "c", _d("2024-03-01")),  # normal update
+            (1, "d", _d("2024-03-10")),  # second update same batch
+            (2, "n", _d("2024-01-05")),  # brand-new key
+        ],
+        "k long, attr string, ts date",
+    )
+    merged = scd2_apply(dim, updates, ["k"], "ts")
+    assert _rows(merged) == [
+        (1, "a", "2024-01-01", "2024-02-01"),  # closed history untouched
+        (1, "b", "2024-02-01", "2024-03-01"),  # open row closed by first update
+        (1, "c", "2024-03-01", "2024-03-10"),  # chained within the batch
+        (1, "d", "2024-03-10", "None"),
+        (2, "n", "2024-01-05", "None"),
+    ]
+    # replay consistency: apply(build(prefix), suffix) == build(all)
+    all_changes = initial.unionByName(updates)
+    full = scd2_build(all_changes, ["k"], "ts")
+    assert _rows(merged) == _rows(full)
+
+
+def test_apply_out_of_order_update_slots_before_open_row(spark):
+    """A late-arriving change earlier than the open version re-chains
+    consistently (same as replaying in timestamp order)."""
+    dim = scd2_build(
+        spark.createDataFrame([(1, "b", _d("2024-02-01"))], "k long, attr string, ts date"),
+        ["k"],
+        "ts",
+    )
+    late = spark.createDataFrame([(1, "a", _d("2024-01-01"))], "k long, attr string, ts date")
+    merged = scd2_apply(dim, late, ["k"], "ts")
+    assert _rows(merged) == [
+        (1, "a", "2024-01-01", "2024-02-01"),
+        (1, "b", "2024-02-01", "None"),
+    ]
