@@ -366,7 +366,7 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
     FROM lineitem
     """,
@@ -374,8 +374,11 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
+        # l_quantity completes the order: the synthetic fixture has
+        # duplicate (l_orderkey, l_linenumber) pairs, and a prefix sum is
+        # only multiset-deterministic when tied rows contribute equally
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return _t(spark, sf_dir, "lineitem").select(
