@@ -42,7 +42,9 @@ HEADLINE = [
     "dedup_exact_groups",
     "top_tokens",
     "simhash_signatures",
-    "minhash_near_dups",
+    # near-dup mining: the custom banded-LSH operator is the engine's
+    # scale path (minhash_near_dups, the pyspark.ml variant, stays in
+    # queries() but is ~2x slower for identical output -- COVERAGE.md)
     "minhash_banded_near_dups",
     "ngram_jaccard_pairs",
     # vectors
