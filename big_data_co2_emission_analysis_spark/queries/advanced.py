@@ -183,6 +183,54 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Grouped-map Pandas UDF (applyInPandas): per-supplier z-score
+# normalization.  The one extension-point shape not covered elsewhere
+# (scalar pandas_udf: functions/text.py; mapInPandas: multimodal;
+# applyInPandasWithState: streaming).  1000 supplier groups keep it
+# parallel at scale -- never group-map on a 3-value key.  The oracle
+# recomputes the same z with window aggregates; 4 dp rounding absorbs
+# pandas-vs-SQL accumulation ULPs.
+# --------------------------------------------------------------------------
+@register(
+    "supplier_price_zscores",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+                 / STDDEV_SAMP(l_extendedprice) OVER w, 4) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey)
+    ORDER BY l_suppkey, l_orderkey, l_linenumber, z
+    """,
+    tags=("udf", "pandas", "window"),
+)
+def supplier_price_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["l_extendedprice"].std(ddof=1)
+        mean = pdf["l_extendedprice"].mean()
+        z = (pdf["l_extendedprice"] - mean) / sd
+        return pd.DataFrame(
+            {
+                "l_suppkey": pdf["l_suppkey"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                # single-row groups: sd NaN -> null (matches SQL NULL)
+                "z": z.round(4).where(pd.notna(z), None),
+            }
+        )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_suppkey")
+        .applyInPandas(_z, "l_suppkey long, l_orderkey long, l_linenumber long, z double")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "z")
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD2 / CDC history (operators/scd2.py): the Spark side builds the
 # dimension from pre-1997 orders, then APPLIES the 1997+ orders as a
 # CDC batch; the oracle builds the whole history in one window pass.
