@@ -113,6 +113,28 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id")
 
 
+@register(
+    "streaming_dedup_user_types",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates run to completion: the surviving key set
+    over a bounded source must equal batch DISTINCT (which row survives
+    per key is arbitrary, so only the keys are projected)."""
+    from ..streaming.windows import streaming_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(
+        streaming_dedup(stream, ["user_id", "event_type"]), output_mode="append"
+    )
+    return result.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
 @register("streaming_session_windows", oracle=None, tags=("streaming",))
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user.  Session merge

@@ -105,6 +105,15 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: first arrival per key wins, duplicates
+    drop for as long as their key stays in the state store.  The
+    watermark bounds that state (keys older than it age out) -- without
+    one, state grows forever.  The streaming twin of exact_dedup for
+    at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def stateful_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     """Custom stateful per-user aggregator via ``applyInPandasWithState``
     -- the sanctioned extension point when built-in windowed aggregation
