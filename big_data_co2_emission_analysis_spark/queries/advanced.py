@@ -183,6 +183,65 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Null-handling scalars: the fixture is null-free, so NULLIF
+# manufactures nulls and COALESCE / null-safe comparison consume them.
+# --------------------------------------------------------------------------
+@register(
+    "null_handling_scalars",
+    oracle="""
+    SELECT p_partkey,
+           NULLIF(p_size, 5) AS size_or_null,
+           COALESCE(NULLIF(p_size, 5), -1) AS size_defaulted,
+           (NULLIF(p_size, 5) IS NOT DISTINCT FROM NULLIF(p_size, 5)) AS nsafe_self,
+           (NULLIF(p_size, 5) IS NOT DISTINCT FROM p_size) AS nsafe_mixed
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "nulls"),
+)
+def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    maybe_null = F.nullif(F.col("p_size"), F.lit(5))
+    return part.select(
+        "p_partkey",
+        maybe_null.alias("size_or_null"),
+        F.coalesce(maybe_null, F.lit(-1)).alias("size_defaulted"),
+        maybe_null.eqNullSafe(maybe_null).alias("nsafe_self"),
+        maybe_null.eqNullSafe(F.col("p_size")).alias("nsafe_mixed"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic beyond extraction: add/diff/truncate-to-boundary.
+# --------------------------------------------------------------------------
+@register(
+    "order_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
+           LAST_DAY(o_orderdate) AS month_end,
+           CAST(ROUND(12 * (DATE_PART('year', AGE(DATE '1998-01-01', o_orderdate))
+                 + DATE_PART('month', AGE(DATE '1998-01-01', o_orderdate)) / 12.0), 0) AS BIGINT)
+             AS whole_months_to_98
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.last_day(d).alias("month_end"),
+        F.floor(F.months_between(F.lit("1998-01-01").cast("date"), d)).cast("long").alias("whole_months_to_98"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
 # Grouped-map Pandas UDF (applyInPandas): per-supplier z-score
 # normalization.  The one extension-point shape not covered elsewhere
 # (scalar pandas_udf: functions/text.py; mapInPandas: multimodal;
