@@ -216,9 +216,14 @@ def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "order_date_arithmetic",
+    # NB: only ONE timestamp+INTERVAL expression may appear in the
+    # oracle -- DuckDB 1.0 CSE-merges distinct interval additions on the
+    # same column into the first one's value (repro: SELECT t+INTERVAL
+    # 90 DAY, t+INTERVAL 3 MONTH returns the 90-day result twice).
+    # due_date therefore uses date+int arithmetic instead.
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(o_orderdate AS DATE) + 90 AS due_date,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
            LAST_DAY(o_orderdate) AS month_end,
            CAST(ROUND(12 * (DATE_PART('year', AGE(DATE '1998-01-01', o_orderdate))
