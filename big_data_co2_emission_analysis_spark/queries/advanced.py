@@ -226,9 +226,8 @@ def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) + 90 AS due_date,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
            LAST_DAY(o_orderdate) AS month_end,
-           CAST(ROUND(12 * (DATE_PART('year', AGE(DATE '1998-01-01', o_orderdate))
-                 + DATE_PART('month', AGE(DATE '1998-01-01', o_orderdate)) / 12.0), 0) AS BIGINT)
-             AS whole_months_to_98
+           CAST((1998 - DATE_PART('year', o_orderdate)) * 12
+                + (1 - DATE_PART('month', o_orderdate)) AS BIGINT) AS calendar_months_to_98
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -242,7 +241,9 @@ def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 90).alias("due_date"),
         F.add_months(d, 3).alias("review_date"),
         F.last_day(d).alias("month_end"),
-        F.floor(F.months_between(F.lit("1998-01-01").cast("date"), d)).cast("long").alias("whole_months_to_98"),
+        ((F.lit(1998) - F.year(d)) * 12 + (F.lit(1) - F.month(d)))
+        .cast("long")
+        .alias("calendar_months_to_98"),
     ).orderBy("o_orderkey")
 
 
