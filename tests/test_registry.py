@@ -67,3 +67,37 @@ def test_elbow_sweep_monotone_trend(spark, sf_dir):
     points = elbow_sweep(base, ks=range(2, 9, 2), sample_fraction=None)
     costs = [p.cost for p in points]
     assert costs[-1] < costs[0]
+
+
+def test_percentile_approx_envelope(spark, sf_dir):
+    """The sketch median must land within 1% (relative) of the exact
+    interpolated median at the 10000-accuracy setting."""
+    from big_data_co2_emission_analysis_spark.queries.advanced import (
+        approx_quartiles_per_flag,
+        quartiles_per_flag,
+    )
+
+    exact = {r["l_returnflag"]: r["median"] for r in quartiles_per_flag(spark, sf_dir).collect()}
+    approx = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in approx_quartiles_per_flag(spark, sf_dir).collect()
+    }
+    for k, e in exact.items():
+        assert approx[k] == pytest.approx(e, rel=0.01)
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """freqItems may over-report but must never MISS an item above the
+    support threshold (the sketch's one-sided guarantee)."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.queries.advanced import freq_brands_sketch
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    true_heavy = {
+        r["p_brand"]
+        for r in part.groupBy("p_brand").count().filter(F.col("count") > 0.02 * n).collect()
+    }
+    reported = {r["brand"] for r in freq_brands_sketch(spark, sf_dir).collect()}
+    assert true_heavy <= reported
