@@ -1,0 +1,63 @@
+"""Run the full CO2 pipeline — the reference's entire workload
+(Mayurwaghela1997/Big_Data_CO2_Emission_Analysis project-co2.py:79-228)
+reproduced on this engine, printing the same analyses:
+
+    python examples/co2_demo.py [path/to/co2-dataset-edited.csv]
+
+Differences from the reference, on purpose (SURVEY.md section 2.13):
+the num_increased copy-paste bug is fixed, change = 2014 - 2004 (the
+primary script's sign), the cluster-label Python UDF is a native
+expression, and the lineage is cached instead of re-executed per
+action.  The GeoPandas choropleth tail is out of engine scope
+(SURVEY.md S7); its input (the iso_a3-keyed result table) is printed
+instead.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from big_data_co2_emission_analysis_spark.co2.pipeline import (
+        REFERENCE_CSV,
+        load_clean,
+        run_pipeline,
+        selected_countries,
+        top_emitters,
+        top_increasers,
+        top_reducers,
+    )
+    from big_data_co2_emission_analysis_spark.session import get_session
+
+    csv_path = sys.argv[1] if len(sys.argv) > 1 else REFERENCE_CSV
+    spark = get_session("co2-demo")
+
+    res = run_pipeline(spark, csv_path)
+    print(f"rows: {res.n_raw} raw -> {res.n_clean} clean")
+    print(f"reduced: {res.n_reduced}  increased: {res.n_increased}")
+    print(
+        f"sum(change): reduced {res.sum_reduced:+.4f}  "
+        f"increased {res.sum_increased:+.4f}  total {res.sum_total:+.4f}"
+    )
+    print(f"silhouette (k=5, seed=1): {res.silhouette:.4f}")
+    print("cluster ranges (native label expression):")
+    res.cluster_ranges.show(truncate=False)
+
+    clean = load_clean(spark, csv_path)
+    for title, df in [
+        ("top-3 emitters 2014", top_emitters(clean, "2014")),
+        ("bottom-3 emitters 2014", top_emitters(clean, "2014", lowest=True)),
+        ("top-3 emitters 2004", top_emitters(clean, "2004")),
+        ("top-3 reducers", top_reducers(clean)),
+        ("top-3 increasers", top_increasers(clean)),
+        ("selected countries", selected_countries(clean)),
+    ]:
+        print(f"-- {title}")
+        df.show(truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
