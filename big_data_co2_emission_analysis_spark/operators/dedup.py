@@ -281,9 +281,15 @@ def minhash_banded_pairs(
     a_consts = [rng.randrange(1, 1 << 31) | 1 for _ in range(num_hashes)]
     b_consts = [rng.randrange(0, 1 << 31) for _ in range(num_hashes)]
 
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    from pyspark import StorageLevel
+
+    base = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        # consumed 3x (signatures + both sides of the verification
+        # join); persist once instead of re-shingling per consumer
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hashed = base.select("id", F.explode("__sh").alias("__s")).select(
         "id", F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF).cast("long")).alias("__h")
     )
