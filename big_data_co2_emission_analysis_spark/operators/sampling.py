@@ -1,0 +1,48 @@
+"""Sampling operators for training-data pipelines.
+
+The reference's one sampling call is a plain Bernoulli sample feeding
+the k-means fit (reference project-co2.py:48, SURVEY.md R1).  A
+training-data pipeline additionally needs stratified sampling (class
+rebalancing) and reproducible train/test splits -- both map-side,
+shuffle-free, and seed-deterministic for a FIXED partitioning (Spark's
+per-partition RNG streams make the exact row set partitioning-
+dependent; SURVEY.md section 7 "hard parts" documents the same hazard
+for the reference's sample call).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): keep fraction
+    ``fractions[v]`` of rows with ``strata_col == v`` (strata absent
+    from the dict drop entirely).  The class-rebalancing primitive:
+    downsample the majority class, keep the rest."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def train_test_split(
+    df: DataFrame, test_fraction: float = 0.2, key_col: str | None = None, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Reproducible train/test split.
+
+    With ``key_col``: HASH-BASED -- a row's side depends only on its
+    key value, so the split is stable across partitionings, re-runs,
+    and growing data (new rows of an old key stay on that key's side;
+    the right choice when leakage matters, e.g. all of a user's rows
+    must land together).  Without: ``randomSplit`` (partitioning-
+    dependent, documented hazard).
+    """
+    if key_col is None:
+        train, test = df.randomSplit([1 - test_fraction, test_fraction], seed=seed)
+        return train, test
+    # xxhash64 -> uniform bucket in [0, 1); seed keeps splits refreshable
+    bucket = (F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(1_000_000))) / 1_000_000.0
+    test = df.filter(bucket < test_fraction)
+    train = df.filter(bucket >= test_fraction)
+    return train, test

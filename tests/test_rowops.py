@@ -105,3 +105,31 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     left_plain = orders.join(right, "o_custkey", "left").count()
     left_salted = salted_join(orders, right, ["o_custkey"], num_salts=8, how="left").count()
     assert left_plain == left_salted
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.sampling import stratified_sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    totals = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    sampled = stratified_sample(li, "l_returnflag", {"A": 0.5, "N": 0.1}, seed=42)
+    got = {r["l_returnflag"]: r["count"] for r in sampled.groupBy("l_returnflag").count().collect()}
+    assert "R" not in got  # stratum absent from fractions drops
+    assert abs(got["A"] / totals["A"] - 0.5) < 0.1
+    assert abs(got["N"] / totals["N"] - 0.1) < 0.05
+
+
+def test_train_test_split_keyed_is_stable_and_leak_free(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.sampling import train_test_split
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    train, test = train_test_split(orders, 0.25, key_col="o_custkey", seed=7)
+    n, tr, te = orders.count(), train.count(), test.count()
+    assert tr + te == n
+    assert 0.1 < te / n < 0.4
+    # leak-free: no customer appears on both sides
+    both = train.select("o_custkey").intersect(test.select("o_custkey"))
+    assert both.count() == 0
+    # stable across repartitioning
+    tr2, te2 = train_test_split(orders.repartition(13), 0.25, key_col="o_custkey", seed=7)
+    assert te2.count() == te
