@@ -183,6 +183,36 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stratified sampling + keyed train/test split (training-pipeline
+# primitives; operators/sampling.py).  RNG streams are engine-specific
+# -> rows-only; per-stratum fractions and leak-freedom are unit-tested.
+# --------------------------------------------------------------------------
+@register("stratified_sample_counts", oracle=None, tags=("sample",))
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sampled = stratified_sample(li, "l_returnflag", {"A": 0.5, "N": 0.1, "R": 0.25}, seed=42)
+    return sampled.groupBy("l_returnflag").count().orderBy("l_returnflag")
+
+
+@register("train_test_split_summary", oracle=None, tags=("sample",))
+def train_test_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed split summary: per-side row/customer counts (hash-based ->
+    deterministic for a given seed, partitioning-independent)."""
+    from ..operators.sampling import train_test_split
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    train, test = train_test_split(orders, 0.25, key_col="o_custkey", seed=7)
+    summarize = lambda df, side: df.agg(  # noqa: E731
+        F.lit(side).alias("side"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return summarize(train, "train").unionByName(summarize(test, "test")).orderBy("side")
+
+
+# --------------------------------------------------------------------------
 # Null-handling scalars: the fixture is null-free, so NULLIF
 # manufactures nulls and COALESCE / null-safe comparison consume them.
 # --------------------------------------------------------------------------
