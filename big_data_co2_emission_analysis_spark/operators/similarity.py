@@ -53,11 +53,17 @@ def brute_force_topk(
     Returns (query_id, vec_id, cosine, rank).  Cosine ties break on
     vec_id for determinism.
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    scored = corpus.crossJoin(q).select(
+    # norms precomputed once per side: cosine-per-pair would re-reduce
+    # both vectors for every (corpus, query) combination -- 3x the
+    # array work on the scan that dominates at scale
+    q = F.broadcast(
+        queries.select(query_id, query_vec).withColumn("__qn", l2_norm(F.col(query_vec)))
+    )
+    c = corpus.select(corpus_id, corpus_vec).withColumn("__cn", l2_norm(F.col(corpus_vec)))
+    scored = c.crossJoin(q).select(
         query_id,
         corpus_id,
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cosine"),
+        (dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("__cn") * F.col("__qn"))).alias("cosine"),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
