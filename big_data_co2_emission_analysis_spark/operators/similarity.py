@@ -144,7 +144,9 @@ def ivf_topk(
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(c)
-    assigned = model.transform(c).select("id", "vec", "cell")
+    assigned = model.transform(c).select(
+        "id", "vec", "cell", l2_norm(F.col("vec")).alias("__cn")
+    )
 
     # centroid table (tiny) -> broadcast; each query scores all centroids
     # and keeps nprobe nearest (euclidean on raw vectors).
@@ -164,12 +166,16 @@ def ivf_topk(
         ).alias("d2"),
     )
     wq = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select("qid", "qvec", "cell")
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", "cell", l2_norm(F.col("qvec")).alias("__qn"))
+    )
 
     scored = assigned.join(F.broadcast(probes), "cell").select(
         F.col("qid").alias(query_id),
         F.col("id").alias(corpus_id),
-        cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+        (dot(F.col("vec"), F.col("qvec")) / (F.col("__cn") * F.col("__qn"))).alias("cosine"),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
