@@ -92,6 +92,31 @@ def read_co2_csv(spark: SparkSession, path: str, edited: bool = True) -> DataFra
     return parsed
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Media ingestion source: ``binaryFile`` format -> (path,
+    modificationTime, length, content) with the payload as an opaque
+    binary column -- the entry point for the multimodal operators
+    (operators/multimodal.py).
+
+    ``glob`` filters by name pattern (e.g. ``*.png``) at listing time;
+    ``max_bytes`` drops oversized payloads BEFORE they are read into
+    rows (`length` is a partition-pruning-style metadata filter --
+    pushed to the file listing, not a row filter).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, normalizing its timestamp encoding.
 

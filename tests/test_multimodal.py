@@ -53,3 +53,27 @@ def test_metadata_size_matches_payload(media):
         F.length("media_bytes").alias("a"), F.col("media_meta.size_bytes").alias("b")
     ).collect()
     assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """binaryFile ingestion -> mapInPandas feature extraction: the real
+    media path end-to-end (with the deterministic decode stub)."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import extract_features
+    from big_data_co2_emission_analysis_spark.sources.readers import read_binary_files
+
+    for i in range(4):
+        (tmp_path / f"img_{i}.png").write_bytes(bytes([i] * (100 + i)))
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.png", max_bytes=102)
+    rows = files.select("path", "length", "content").collect()
+    assert len(rows) == 3  # glob drops .txt, max_bytes drops img_3 (103b)
+
+    docs = files.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("content").alias("media_bytes")
+    )
+    feats = extract_features(docs, fake_decode=True)
+    out = feats.collect()
+    assert len(out) == 3 and all(len(r["features"]) == 16 for r in out)
