@@ -92,6 +92,31 @@ def read_co2_csv(spark: SparkSession, path: str, edited: bool = True) -> DataFra
     return parsed
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines source.  Always pass ``schema`` in production --
+    inference scans the data twice, and a schema makes bad records
+    land in ``corrupt_col`` (PERMISSIVE) instead of poisoning types.
+    ``mode``: PERMISSIVE (default; corrupt rows -> corrupt_col),
+    DROPMALFORMED, or FAILFAST.
+    """
+    reader = spark.read.option("mode", mode)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if corrupt_col and mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, T.StringType())
+        reader = reader.schema(schema)
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

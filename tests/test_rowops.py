@@ -133,3 +133,29 @@ def test_train_test_split_keyed_is_stable_and_leak_free(spark, sf_dir):
     # stable across repartitioning
     tr2, te2 = train_test_split(orders.repartition(13), 0.25, key_col="o_custkey", seed=7)
     assert te2.count() == te
+
+
+def test_jsonl_reader_corrupt_record_handling(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": 3.0}\nnot json at all\n')
+    df = read_jsonl(spark, str(p), schema="id bigint, v double")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 2} and len(bad) == 1
+    dropped = read_jsonl(spark, str(p), schema="id bigint, v double", mode="DROPMALFORMED")
+    assert dropped.filter("id IS NOT NULL").count() == 2
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nmalformed_single_field\n3,4\n")
+    df = read_csv(
+        spark, str(p), schema="a int, b int", header=True, mode="DROPMALFORMED"
+    )
+    assert sorted((r["a"], r["b"]) for r in df.collect() if r["a"] is not None) == [(1, 2), (3, 4)]
