@@ -114,6 +114,38 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+           c.value AS c_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY p_event_id, c_ts
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion over the bounded
+    source must equal the batch time-range join (the oracle)."""
+    from ..streaming.windows import stream_stream_interval_join
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(stream_stream_interval_join(stream), output_mode="append")
+    return result.select(
+        "p_event_id",
+        F.col("p_user_id").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+        "c_value",
+    ).orderBy("p_event_id", "c_ts")
+
+
+@register(
     "streaming_dedup_user_types",
     oracle="""
     SELECT DISTINCT user_id, event_type

@@ -105,6 +105,43 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with the same
+    user's clicks in the preceding ``lookback``.  Both sides carry
+    watermarks + the time-range predicate, which is what lets the
+    engine EXPIRE join state (clicks older than purchase-watermark -
+    lookback can never match again and are dropped).  Without the
+    range condition, stream-stream state grows unboundedly.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user_id = c_user_id AND c_ts >= p_ts - INTERVAL {lookback} AND c_ts <= p_ts"
+        ),
+        "inner",
+    )
+
+
 def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: first arrival per key wins, duplicates
     drop for as long as their key stays in the state store.  The
