@@ -197,6 +197,34 @@ def stateful_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """foreachBatch parquet sink: each micro-batch lands as an atomic
+    parquet append keyed by batch id, with the checkpoint giving
+    end-to-end exactly-once on restart (a failed batch re-runs under
+    the same id).  foreachBatch rather than the built-in parquet sink
+    so the batch hook can also MERGE/upsert/dedup against the target
+    -- the production pattern.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over a bounded source to its final
     state via an availableNow trigger + memory sink; returns the result

@@ -125,3 +125,45 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir):
     )
     want = {r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: streamed rows land complete and
+    re-readable; the checkpoint prevents re-processing on a second
+    availableNow run over the same source."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = stream_to_parquet(stream, out, ckpt)
+    q.awaitTermination()
+    n_expected = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase").count()
+    assert spark.read.parquet(out).count() == n_expected
+    # restart over the same (fully-consumed) source: checkpoint says done
+    q2 = stream_to_parquet(stream, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_expected
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    res = run_to_completion(
+        stream_stream_interval_join(read_events_stream(spark, sf_dir)), "append"
+    )
+    ev = read_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    batch_n = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+    ).count()
+    assert res.count() == batch_n
