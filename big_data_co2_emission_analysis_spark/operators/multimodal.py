@@ -116,6 +116,58 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.select("doc_id", "media_bytes").mapInPandas(_extract, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_METADATA_TYPE),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: payload in, re-encoded payload +
+    updated metadata out -- the schema/batch plumbing of a real resize
+    stage.  STUB decode/encode (PIL absent): ``fake=True``
+    deterministically truncates/pads the byte payload to width*height
+    so downstream stages see size-consistent binaries; a real
+    implementation swaps only the inner ``_resize_one``.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not available in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    target = width * height
+
+    def _resize(batches):
+        import pandas as pd
+
+        def _resize_one(p) -> bytes:
+            b = bytes(p)
+            return (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["media_bytes"] = pdf["media_bytes"].map(_resize_one)
+            out["media_meta"] = [
+                {
+                    "media_type": "image",
+                    "format": "fake",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "size_bytes": target,
+                }
+                for _ in range(len(pdf))
+            ]
+            yield out
+
+    return df.select("doc_id", "media_bytes").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling plumbing for video payloads: explode each payload
     into ``n_frames`` (frame_idx, frame_bytes) rows -- the stub slices

@@ -77,3 +77,18 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     feats = extract_features(docs, fake_decode=True)
     out = feats.collect()
     assert len(out) == 3 and all(len(r["features"]) == 16 for r in out)
+
+
+def test_resize_images_normalizes_payload_size(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        attach_media_columns,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_media_columns(docs)
+    resized = resize_images(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r["media_bytes"]) == 64 for r in rows)
+    assert all(r["media_meta"]["width"] == 8 and r["media_meta"]["size_bytes"] == 64 for r in rows)
