@@ -24,6 +24,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "feat_norm", F.size("features").alias("feat_dim"))
 
 
+@register("multimodal_resize", oracle=None, tags=("multimodal",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: payload -> size-normalized payload + updated
+    metadata (stubbed decode; mapInPandas batch shape is real)."""
+    from ..operators.multimodal import resize_images
+
+    resized = resize_images(_media(spark, sf_dir), width=16, height=16)
+    return resized.select(
+        "doc_id",
+        F.length("media_bytes").cast("long").alias("payload_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
 @register("multimodal_frame_samples", oracle=None, tags=("multimodal",))
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: payload -> 4 frame slices per doc."""
