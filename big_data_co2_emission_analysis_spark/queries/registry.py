@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         streaming_queries,
         text_queries,
+        tpch_shapes,
         vector_queries,
     )
 
