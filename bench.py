@@ -22,6 +22,8 @@ HEADLINE = [
     "pricing_summary",
     "region_revenue",
     "priority_revenue",
+    "q3_shipping_priority",
+    "q10_returned_customers",
     "customer_order_counts",
     "top_orders",
     "top_customers_per_segment",
