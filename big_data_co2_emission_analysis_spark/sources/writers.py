@@ -18,10 +18,16 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
 ) -> None:
     """Parquet sink.  ``partition_by`` yields partition-pruned reads for
     downstream consumers; ``max_records_per_file`` caps file size so a
-    1000-executor read parallelizes."""
+    1000-executor read parallelizes; ``sort_within_partitions``
+    clusters rows so parquet row-group min/max statistics become
+    selective -- point/range reads on the sort key then skip whole row
+    groups (a no-shuffle local sort, the poor man's Z-order)."""
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

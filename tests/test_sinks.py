@@ -65,3 +65,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_sorted_write_produces_selective_row_group_stats(spark, sf_dir, tmp_path):
+    """sortWithinPartitions clusters the key so row-group min/max
+    ranges are narrow -- verified directly on the parquet footer."""
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_parquet(src.repartition(2), out, sort_within_partitions=["o_orderkey"])
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    for fname in files:
+        meta = pq.ParquetFile(os.path.join(out, fname)).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.schema.column(i).name == "o_orderkey"
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            span = st.max - st.min
+            # a sorted file's row-group span is ~rows-in-group, far
+            # below the full keyspace (~15000 at sf0.001)
+            assert span <= meta.row_group(rg).num_rows + 1
