@@ -68,15 +68,19 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
 
 def test_sorted_write_produces_selective_row_group_stats(spark, sf_dir, tmp_path):
-    """sortWithinPartitions clusters the key so row-group min/max
-    ranges are narrow -- verified directly on the parquet footer."""
+    """A sorted single partition split across files must produce
+    pairwise non-overlapping key ranges in the parquet footers -- the
+    property that lets range predicates skip whole files/row groups."""
     import pyarrow.parquet as pq
 
     src = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = str(tmp_path / "orders_sorted")
-    write_parquet(src.repartition(2), out, sort_within_partitions=["o_orderkey"])
-    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
-    for fname in files:
+    write_parquet(
+        src.coalesce(1), out,
+        sort_within_partitions=["o_orderkey"], max_records_per_file=400,
+    )
+    ranges = []
+    for fname in sorted(f for f in os.listdir(out) if f.endswith(".parquet")):
         meta = pq.ParquetFile(os.path.join(out, fname)).metadata
         idx = next(
             i for i in range(meta.num_columns)
@@ -84,7 +88,8 @@ def test_sorted_write_produces_selective_row_group_stats(spark, sf_dir, tmp_path
         )
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(idx).statistics
-            span = st.max - st.min
-            # a sorted file's row-group span is ~rows-in-group, far
-            # below the full keyspace (~15000 at sf0.001)
-            assert span <= meta.row_group(rg).num_rows + 1
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 3
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
