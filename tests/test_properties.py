@@ -125,3 +125,41 @@ def test_salted_join_parity_random_skew(spark, keys, n_right):
         (r["lid"], r["rv"]) for r in salted_join(ldf, rdf, ["k"], num_salts=4).collect()
     )
     assert plain == salted
+
+
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+        min_size=1,
+        max_size=14,
+    ),
+    split=st.integers(0, 30),
+)
+@settings(**_SETTINGS)
+def test_scd2_replay_consistency(spark, changes, split):
+    """build(prefix) + apply(suffix) == build(all) for any change
+    stream and any split point (the MERGE-emulation contract)."""
+    from big_data_co2_emission_analysis_spark.operators.scd2 import scd2_apply, scd2_build
+
+    rows = [
+        (k, _T0 + timedelta(days=ts), i, float(v))
+        for i, (k, ts, v) in enumerate(changes)
+    ]
+    schema = "k long, ts timestamp, seq long, attr double"
+    all_df = spark.createDataFrame(rows, schema)
+    prefix = [r for r in rows if r[1] < _T0 + timedelta(days=split)]
+    suffix = [r for r in rows if r[1] >= _T0 + timedelta(days=split)]
+
+    full = scd2_build(all_df, ["k"], "ts", order_cols=["seq"])
+    if prefix and suffix:
+        dim = scd2_build(spark.createDataFrame(prefix, schema), ["k"], "ts", order_cols=["seq"])
+        merged = scd2_apply(dim, spark.createDataFrame(suffix, schema), ["k"], "ts", order_cols=["seq"])
+    elif prefix:
+        merged = scd2_build(spark.createDataFrame(prefix, schema), ["k"], "ts", order_cols=["seq"])
+    else:
+        merged = scd2_build(spark.createDataFrame(suffix, schema), ["k"], "ts", order_cols=["seq"])
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r["seq"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
+    )
+    assert canon(merged) == canon(full)
