@@ -493,6 +493,25 @@ def set_intersect_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_all_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY o_custkey
+    """,
+    tags=("setop",),
+)
+def set_intersect_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection: a custkey with 3 urgent and 2 low
+    orders appears min(3,2)=2 times."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersectAll(low).orderBy("o_custkey")
+
+
+@register(
     "set_except_urgent_low",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
