@@ -1,0 +1,67 @@
+"""Executed-plan metrics: the quantitative feedback loop behind the
+wall-clock numbers in bench.py.
+
+``collect_metrics`` executes a DataFrame and walks the final adaptive
+plan's SQL metrics, aggregating the ones that decide scale behavior:
+rows/bytes scanned (is pruning working?), shuffle bytes written (is
+the plan shuffling more than the data requires?), and spill bytes
+(are partitions sized to memory?).  Use when tuning an operator:
+
+    from big_data_co2_emission_analysis_spark.plans.metrics import collect_metrics
+    m = collect_metrics(df)
+    # {'output_rows_scan': ..., 'bytes_scanned': ...,
+    #  'shuffle_bytes_written': ..., 'spill_bytes': ..., 'n_rows': ...}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: metric-name fragments -> aggregate key
+_METRIC_KEYS = {
+    "number of output rows": "output_rows_total",
+    "bytes read": "bytes_scanned",
+    "shuffle bytes written": "shuffle_bytes_written",
+    "spill size": "spill_bytes",
+}
+
+
+def _walk(node, out: dict) -> None:
+    name = node.nodeName()
+    metrics = node.metrics()
+    it = metrics.iterator()
+    while it.hasNext():
+        kv = it.next()
+        metric = kv._2()
+        label = metric.name().toString() if hasattr(metric.name(), "toString") else str(metric.name())
+        for frag, key in _METRIC_KEYS.items():
+            if frag in label:
+                out[key] = out.get(key, 0) + metric.value()
+                if key == "output_rows_total" and "Scan" in name:
+                    out["output_rows_scan"] = out.get("output_rows_scan", 0) + metric.value()
+    # children, or -- for leaf-looking AQE wrappers whose subtree hides
+    # behind an accessor (AdaptiveSparkPlan.executedPlan,
+    # QueryStageExec.plan) -- the unwrapped plan.  Unwrapping only when
+    # children() is empty keeps the walk acyclic and single-visit.
+    ch = node.children()
+    if ch.size() > 0:
+        it = ch.iterator()
+        while it.hasNext():
+            _walk(it.next(), out)
+        return
+    for method in ("executedPlan", "plan"):
+        if hasattr(node, method):
+            try:
+                _walk(getattr(node, method)(), out)
+                return
+            except Exception:
+                pass
+
+
+def collect_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` and return aggregated runtime metrics."""
+    rows = df.collect()
+    out: dict = {"n_rows": len(rows)}
+    plan = df._jdf.queryExecution().executedPlan()
+    _walk(plan, out)
+    return out

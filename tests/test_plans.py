@@ -127,3 +127,17 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
             continue
         plan = explain_formatted(qd.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+
+
+def test_collect_metrics_quantifies_shuffle_efficiency(spark, sf_dir):
+    """Runtime metrics must show partial aggregation working: the
+    shuffle moves orders of magnitude less than the scan produces."""
+    from big_data_co2_emission_analysis_spark.plans.metrics import collect_metrics
+    from big_data_co2_emission_analysis_spark.queries.relational import pricing_summary
+
+    m = collect_metrics(pricing_summary(spark, sf_dir))
+    assert m["n_rows"] == 6
+    assert m["output_rows_scan"] >= 5000  # full sf0.001 lineitem scan
+    assert m["spill_bytes"] == 0
+    # map-side combine: 6 groups x partitions cross the wire, not rows
+    assert m["shuffle_bytes_written"] < m["output_rows_scan"]
