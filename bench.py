@@ -3,9 +3,12 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as plan-build + full execution (count of the
-result), after a session warm-up action so JVM startup isn't billed to
-the first query.
+Each query is timed as plan-build + full execution into a noop sink
+(`df.write.format("noop")`), after a session warm-up action so JVM
+startup isn't billed to the first query.  A noop write materializes
+every column of every row, so map-only queries (simhash, doc_stats,
+embedding_norms) can't be pruned down to a bare row count the way
+`df.count()` let Catalyst do.
 """
 
 from __future__ import annotations
@@ -78,9 +81,10 @@ def main() -> None:
         fn = qs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full materialization of all columns, nothing written
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(

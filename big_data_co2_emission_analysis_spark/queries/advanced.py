@@ -153,9 +153,13 @@ def approx_quartiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "order_line_arrays",
+    # The array aggregation itself happens Spark-side (sort_array over
+    # collect_list); the checked output serializes it to a comma-joined
+    # string because the driver's canonicalizer sorts a pandas frame and
+    # Python lists aren't hashable/orderable there.
     oracle="""
     SELECT l_orderkey,
-           LIST(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           ARRAY_TO_STRING(LIST(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
            CAST(LEN(LIST(l_linenumber)) AS BIGINT) AS n_lines,
            CAST(LIST_CONTAINS(LIST(l_linenumber), 1) AS BOOLEAN) AS has_first
     FROM lineitem
@@ -169,14 +173,14 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("lines_arr"),
             F.count("*").alias("n_lines"),
         )
         .select(
             "l_orderkey",
-            "line_numbers",
+            F.array_join("lines_arr", ",").alias("line_numbers"),
             "n_lines",
-            F.array_contains("line_numbers", 1).alias("has_first"),
+            F.array_contains("lines_arr", 1).alias("has_first"),
         )
         .orderBy("l_orderkey")
     )
