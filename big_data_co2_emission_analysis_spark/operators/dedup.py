@@ -235,46 +235,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_banded_pairs(
+def _banded_postings(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 32,
-    num_bands: int = 8,
-    shingle_n: int = 3,
-    min_jaccard: float = 0.3,
-) -> DataFrame:
-    """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
-    values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
-    map-side candidate-pair expansion -> exact-Jaccard verification of
-    candidates (array_intersect/array_union on the shingle sets, same
-    recheck approxSimilarityJoin does with its distance filter).
-
-    Returns (id_a, id_b, est_jaccard, jaccard) with id_a < id_b;
-    est_jaccard is the fraction of agreeing minhashes (unbiased
-    estimator, stderr ~ 1/sqrt(k)) and jaccard is exact; rows satisfy
-    ``jaccard >= min_jaccard``.  A loose prefilter at
-    ``min_jaccard - 3*stderr`` prunes hopeless candidates before the
-    verification join.
-
-    Scale shape: everything is JVM-side expressions; ONE shuffle
-    (groupBy bucket) before the pair aggregation, signatures travel with
-    the postings so no join back to the corpus.  A pair colliding in p
-    bands is emitted p times -- the final groupBy dedupes.  Versus
-    pyspark.ml's MinHashLSH+approxSimilarityJoin this skips the
-    VectorUDT conversion and the exact-distance re-join (~3x measured
-    at sf0.1).
-
-    Probability a pair with true Jaccard s becomes a candidate:
-    1 - (1 - s^r)^b (r=4, b=8: s=0.5 -> 0.40, s=0.8 -> 0.98).
-
-    The signature step deliberately avoids higher-order functions:
-    shingle hashes explode to rows and the k affine minhashes
-    (h*a_i + b_i over a 32-bit hash domain -- products stay in long
-    range under ANSI mode) become k plain aggregate columns, so the
-    whole hot loop runs in whole-stage codegen (11x faster than the
-    nested-transform formulation at sf0.1).
-    """
+    num_hashes: int,
+    num_bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of banded MinHash: returns (base, banded) where
+    base is the persisted (id, __sh shingle-set) frame and banded has
+    one (id, sig, band, bucket) posting per doc per band."""
     import random
 
     rng = random.Random(42)
@@ -319,12 +290,101 @@ def minhash_banded_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return base, banded
+
+
+def minhash_banded_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Monitoring companion to ``minhash_banded_pairs``: one row of
+    bucket-population stats under the same parameters --
+    (n_buckets, n_candidate_buckets, n_skipped_buckets,
+    n_skipped_postings, max_bucket).  Run it (or log it from a
+    pipeline) to see how much the ``max_bucket_size`` cap is dropping;
+    a nonzero skipped count on a real corpus means boilerplate-heavy
+    data that should be fingerprint-deduped first."""
+    _, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
+    cap = F.lit(max_bucket_size if max_bucket_size is not None else (1 << 62))
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when((F.col("n") > 1) & (F.col("n") <= cap), 1).otherwise(0)).alias(
+            "n_candidate_buckets"
+        ),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("n_skipped_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias("n_skipped_postings"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
+    values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
+    map-side candidate-pair expansion -> exact-Jaccard verification of
+    candidates (array_intersect/array_union on the shingle sets, same
+    recheck approxSimilarityJoin does with its distance filter).
+
+    Returns (id_a, id_b, est_jaccard, jaccard) with id_a < id_b;
+    est_jaccard is the fraction of agreeing minhashes (unbiased
+    estimator, stderr ~ 1/sqrt(k)) and jaccard is exact; rows satisfy
+    ``jaccard >= min_jaccard``.  A loose prefilter at
+    ``min_jaccard - 3*stderr`` prunes hopeless candidates before the
+    verification join.
+
+    Scale shape: everything is JVM-side expressions; ONE shuffle
+    (groupBy bucket) before the pair aggregation, signatures travel with
+    the postings so no join back to the corpus.  A pair colliding in p
+    bands is emitted p times -- the final groupBy dedupes.  Versus
+    pyspark.ml's MinHashLSH+approxSimilarityJoin this skips the
+    VectorUDT conversion and the exact-distance re-join (~3x measured
+    at sf0.1).
+
+    Probability a pair with true Jaccard s becomes a candidate:
+    1 - (1 - s^r)^b (r=4, b=8: s=0.5 -> 0.40, s=0.8 -> 0.98).
+
+    ``max_bucket_size`` bounds the per-task blowup: a (band, bucket)
+    that collects f postings expands f*(f-1)/2 pairs in ONE task, so a
+    degenerate bucket (boilerplate corpus, a hot template) can OOM an
+    executor.  Buckets over the cap are dropped, mirroring
+    ``ngram_jaccard_pairs``'s ``max_df`` hot-shingle guard: a pair of
+    genuinely similar docs still collides in the other b-1 bands, so
+    only docs whose EVERY band lands in an over-cap bucket lose recall
+    (i.e. clusters of > max_bucket_size mutual near-dups -- for those,
+    exact/fingerprint dedup is the right tool anyway).  Pass ``None``
+    to disable.  ``minhash_banded_bucket_stats`` reports sizes and how
+    many buckets/postings the cap skipped.
+
+    The signature step deliberately avoids higher-order functions:
+    shingle hashes explode to rows and the k affine minhashes
+    (h*a_i + b_i over a 32-bit hash domain -- products stay in long
+    range under ANSI mode) become k plain aggregate columns, so the
+    whole hot loop runs in whole-stage codegen (11x faster than the
+    nested-transform formulation at sf0.1).
+    """
+    base, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
 
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("id", "sig")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("docs") <= max_bucket_size)
     pairs = grouped.select(
         F.explode(
             F.flatten(

@@ -87,6 +87,36 @@ def test_minhash_banded_finds_planted_pairs(corpus):
     assert (0, 2) not in got and (1, 2) not in got  # unrelated
 
 
+def test_minhash_banded_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate cluster (40 identical docs) collides in EVERY band;
+    max_bucket_size must drop those buckets (bounded pair expansion)
+    while leaving recall on normal-sized buckets unchanged."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        minhash_banded_bucket_stats,
+        minhash_banded_pairs,
+    )
+
+    boiler = "standard legal disclaimer repeated across every scraped page " * 3
+    rows = [(100 + i, boiler) for i in range(40)] + [(0, BASE), (1, NEAR)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_banded_pairs(corpus, "doc_id", "text", min_jaccard=0.3, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1) in got  # normal bucket unaffected
+    assert not any(a >= 100 for a, _ in got)  # degenerate cluster dropped, not expanded
+
+    uncapped = minhash_banded_pairs(corpus, "doc_id", "text", min_jaccard=0.3, max_bucket_size=None)
+    n_boiler = sum(1 for a, b in {(r["id_a"], r["id_b"]) for r in uncapped.collect()} if a >= 100)
+    assert n_boiler == 40 * 39 // 2  # what the cap is protecting against
+
+    stats = minhash_banded_bucket_stats(
+        corpus, "doc_id", "text", max_bucket_size=10
+    ).collect()[0]
+    assert stats["n_skipped_buckets"] >= 1
+    assert stats["n_skipped_postings"] >= 40
+    assert stats["max_bucket"] == 40
+
+
 def test_fingerprint_dedup_whitespace_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "goodbye")],
