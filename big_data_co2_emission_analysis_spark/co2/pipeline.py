@@ -114,6 +114,26 @@ def selected_countries(df: DataFrame, names: list[str] | None = None) -> DataFra
     )
 
 
+def world_join(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Reference project-co2.py:137-147, entirely in Spark: patch the
+    four '-99' ISO codes on the world dim, rename `Country Code` to
+    `iso_a3`, LEFT-join from the dim so every world row survives --
+    countries absent from the CO2 table carry null change/cluster
+    (the reference renders them grey), and CO2 aggregates (`ARB`,
+    `WLD`, ...) drop out because no world row matches them.  The
+    reference does this join in pandas after a `.toPandas()`; here the
+    CO2 side stays a DataFrame and is the broadcast (non-preserved)
+    side of the join.
+    """
+    from .world_dim import apply_iso_patches, world_dim_df
+
+    dim = apply_iso_patches(world_dim_df(spark or df.sparkSession))
+    co2 = df.withColumnRenamed("Country Code", "iso_a3").select(
+        "iso_a3", "change", "isReduced"
+    )
+    return dim.join(F.broadcast(co2), on="iso_a3", how="left")
+
+
 # -- the ML leg (reference project-co2.py:34-76) ---------------------------
 
 

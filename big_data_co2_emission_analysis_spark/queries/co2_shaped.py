@@ -191,3 +191,66 @@ def change_range_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_reduced")
     )
+
+
+# --------------------------------------------------------------------------
+# The reference's geo join (project-co2.py:137-147): patch four broken
+# '-99' ISO codes by name, then LEFT-join per-country results onto the
+# world dimension so unmatched countries survive with nulls (grey on
+# the reference's choropleth).  Here the fact side is per-nation
+# revenue from the driver tables (mapped to iso_a3); the genuine CO2
+# CSV variant of the same join lives in co2.pipeline.world_join and is
+# golden-tested.
+# --------------------------------------------------------------------------
+def _world_geo_oracle() -> str:
+    from ..co2.world_dim import FIXTURE_PATH, sql_iso_patches, sql_nation_iso
+
+    return f"""
+    WITH dim AS (
+      SELECT {sql_iso_patches()} AS iso_a3, name, continent
+      FROM read_parquet('{FIXTURE_PATH}')
+    ),
+    fact AS (
+      SELECT {sql_nation_iso("n_name")} AS iso_a3,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT d.iso_a3, d.name, d.continent, f.revenue,
+           f.revenue IS NOT NULL AS matched
+    FROM dim d LEFT JOIN fact f ON d.iso_a3 = f.iso_a3
+    ORDER BY d.iso_a3, d.name
+    """
+
+
+@register("world_geo_revenue", oracle=_world_geo_oracle(), tags=("co2", "join", "geo"))
+def world_geo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..co2.world_dim import FIXTURE_PATH, NATION_ISO, apply_iso_patches, geo_left_join
+
+    dim = apply_iso_patches(spark.read.parquet(FIXTURE_PATH))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    iso_map = F.create_map(
+        *[lit for kv in NATION_ISO.items() for lit in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    fact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .select(iso_map[F.col("n_name")].alias("iso_a3"), "revenue")
+    )
+    return (
+        geo_left_join(dim, fact)
+        .select(
+            "iso_a3",
+            "name",
+            "continent",
+            "revenue",
+            F.col("revenue").isNotNull().alias("matched"),
+        )
+        .orderBy("iso_a3", "name")
+    )

@@ -94,3 +94,26 @@ def test_raw_csv_preamble_variant(spark):
     assert raw.count() == 264
     cleaned = P.derive(P.preprocess(raw))
     assert cleaned.count() == 244
+
+
+def test_world_join_semantics(spark, clean):
+    """Reference project-co2.py:137-147: patched-dim left join.  Every
+    world row survives; CO2 aggregates (ARB, WLD, ...) drop out; the
+    four patched codes behave exactly as the reference's pandas join:
+    FRA/NOR match World Bank data, RKS stays unmatched (World Bank
+    codes Kosovo XKX), Somaliland's SOM patch makes it inherit
+    Somalia's row -- and N. Cyprus stays '-99' (unpatched upstream
+    bug, faithfully reproduced)."""
+    joined = P.world_join(clean).cache()
+    rows = {(r["iso_a3"], r["name"]): r for r in joined.collect()}
+    assert len(rows) == 177  # dim-preserving: all world rows, no aggregates
+
+    assert rows[("FRA", "France")]["change"] is not None  # patched -> matched
+    assert rows[("NOR", "Norway")]["change"] is not None
+    assert rows[("SOM", "Somaliland")]["change"] == rows[("SOM", "Somalia")]["change"]
+    assert rows[("RKS", "Kosovo")]["change"] is None  # World Bank uses XKX
+    assert rows[("-99", "N. Cyprus")]["change"] is None  # unpatched, as in ref
+
+    n_unmatched = joined.filter("change IS NULL").count()
+    assert 0 < n_unmatched < 177  # grey countries exist, match majority too
+    assert joined.filter("change IS NOT NULL").count() + n_unmatched == 177

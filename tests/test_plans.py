@@ -141,3 +141,18 @@ def test_collect_metrics_quantifies_shuffle_efficiency(spark, sf_dir):
     assert m["spill_bytes"] == 0
     # map-side combine: 6 groups x partitions cross the wire, not rows
     assert m["shuffle_bytes_written"] < m["output_rows_scan"]
+
+
+def test_world_geo_join_broadcasts_fact_left_outer(spark, sf_dir):
+    """The geo join must keep the (potentially wide) dim un-shuffled:
+    LEFT OUTER BroadcastHashJoin with the per-country aggregate as the
+    broadcast side."""
+    from big_data_co2_emission_analysis_spark.queries import all_queries
+
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    df = all_queries()["world_geo_revenue"].fn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
