@@ -2,13 +2,14 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (mapInPandas).
 
-The decode step itself is STUBBED: the image/audio libraries are not in
-this environment, so ``decode_image_batch`` raises NotImplementedError
-unless ``fake=True``, which produces a deterministic fake feature
-vector from the bytes.  Everything around the stub -- schema, batch
-shape, partition sizing, UDF signature -- is real and tested
-(tests/test_multimodal.py), so dropping in a real decoder is a
-one-function change.
+The image path is REAL for BMP: this module carries a from-scratch
+24-bit uncompressed BMP codec (numpy + struct -- the format is a
+54-byte header plus bottom-up BGR rows padded to 4 bytes), the fixture
+adapter synthesizes genuine BMP payloads, and decode / feature-extract
+/ resize operate on actual pixel arrays.  Formats that need external
+libraries (PNG/JPEG -> PIL/opencv, absent in this environment) raise
+NotImplementedError loudly; ``fake=True`` keeps the old deterministic
+byte-stub for payloads that aren't images at all.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` governs decode parallelism, and
@@ -18,11 +19,73 @@ than collecting a partition into memory.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# BMP codec (Windows BITMAPINFOHEADER, 24bpp, BI_RGB).  Public format:
+# 14-byte file header + 40-byte info header + bottom-up BGR rows, each
+# padded to a 4-byte boundary.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> BMP file bytes."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP file bytes -> (H, W, 3) uint8 RGB.  Supports the 24bpp
+    uncompressed encoding this module writes (and most real-world
+    .bmp files)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_len * h, offset=offset)
+    px = rows.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return px[::-1] if bottom_up else px
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, 3) array -- real image
+    resizing without an external library."""
+    h, w = pixels.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return pixels[yi][:, xi]
+
+
+def synth_bmp(seed: int, width: int, height: int) -> bytes:
+    """Deterministic test-image generator: a seed-keyed affine gradient
+    (distinct per doc, reproducible across runs/executors)."""
+    y, x = np.mgrid[0:height, 0:width]
+    r = (seed * 31 + x * 7 + y * 13) % 256
+    g = (seed * 17 + x * 3 + y * 11) % 256
+    b = (seed * 53 + x * 5 + y * 2) % 256
+    return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
 
 #: Typed metadata carried alongside every opaque media payload.
 MEDIA_METADATA_TYPE = T.StructType(
@@ -48,53 +111,83 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def attach_media_columns(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Fixture adapter: derive an opaque binary payload + metadata
-    struct from a text corpus so the multimodal plumbing is exercisable
-    without real media files.  In production this column comes straight
-    from the source (parquet BINARY / object-store pointers)."""
-    payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
-        F.col(id_col),
-        payload.alias("media_bytes"),
+    """Fixture adapter: synthesize a genuine BMP payload per row (a
+    doc-keyed gradient, dimensions varying per doc) so the multimodal
+    pipeline exercises real decode/resize.  In production this column
+    comes straight from the source (parquet BINARY / object-store
+    pointers); only this synthesizer is fixture-specific."""
+    w = (F.lit(16) + F.col(id_col) % 8).cast("int")
+    h = (F.lit(12) + F.col(id_col) % 5).cast("int")
+
+    @F.pandas_udf("binary")
+    def _bmp(ids: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_bmp(int(i), int(wv), int(hv)) for i, wv, hv in zip(ids, ws, hs)]
+        )
+
+    payload = _bmp(F.col(id_col), w, h)
+    out = df.select(F.col(id_col), payload.alias("media_bytes"), w.alias("__w"), h.alias("__h"))
+    return out.select(
+        id_col,
+        "media_bytes",
         F.struct(
             F.lit("image").alias("media_type"),
-            F.lit("fake").alias("format"),
-            F.lit(64).cast("int").alias("width"),
-            F.lit(64).cast("int").alias("height"),
+            F.lit("bmp").alias("format"),
+            F.col("__w").alias("width"),
+            F.col("__h").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
-            F.length(payload).cast("long").alias("size_bytes"),
+            F.length("media_bytes").cast("long").alias("size_bytes"),
         ).alias("media_meta"),
     )
+
+
+def bmp_features(pixels: np.ndarray) -> np.ndarray:
+    """(H, W, 3) RGB -> FEATURE_DIM pixel features: a 4x4 grid of
+    grayscale block means in [0, 1] (resolution-independent, so images
+    of different sizes land in the same feature space)."""
+    gray = pixels.mean(axis=2)
+    h, w = gray.shape
+    out = np.empty(FEATURE_DIM, dtype=np.float32)
+    for i in range(4):
+        for j in range(4):
+            block = gray[i * h // 4 : max((i + 1) * h // 4, i * h // 4 + 1),
+                         j * w // 4 : max((j + 1) * w // 4, j * w // 4 + 1)]
+            out[i * 4 + j] = block.mean() / 255.0
+    return out
 
 
 def decode_image_batch(payloads, fake: bool = False):
     """Decode a batch of image payloads -> list of FEATURE_DIM feature
     vectors.
 
-    STUB: real decoding needs PIL/opencv (absent here).  ``fake=True``
-    derives a deterministic pseudo-feature vector from the raw bytes
-    (rolling byte sums), preserving shapes and determinism for tests.
+    BMP payloads are decoded for real (module codec above) into pixel
+    arrays -> grid features.  Other formats need PIL/opencv (absent in
+    this environment) and raise loudly.  ``fake=True`` keeps the
+    deterministic byte-stub (rolling byte sums) for payloads that
+    aren't images at all.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv, not available in this environment; "
-            "pass fake=True for the deterministic stub"
-        )
-    import numpy as np
-
     out = []
     for p in payloads:
-        b = np.frombuffer(bytes(p), dtype=np.uint8)
-        if len(b) == 0:
+        b = bytes(p)
+        if not fake and b[:2] == b"BM":
+            out.append(bmp_features(decode_bmp(b)))
+            continue
+        if not fake:
+            raise NotImplementedError(
+                "only BMP decode is implemented natively; PNG/JPEG need PIL/opencv "
+                "(not available in this environment) -- pass fake=True for the byte-stub"
+            )
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if len(arr) == 0:
             out.append(np.zeros(FEATURE_DIM, dtype=np.float32))
             continue
-        pad = (-len(b)) % FEATURE_DIM
-        chunks = np.pad(b, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float32)
+        pad = (-len(arr)) % FEATURE_DIM
+        chunks = np.pad(arr, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float32)
         out.append(chunks.mean(axis=0) / 255.0)
     return out
 
 
-def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+def extract_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, media_bytes): the
     real Arrow-batched pipeline shape.  Batches stream through the
     iterator; nothing accumulates per-partition."""
@@ -126,20 +219,16 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    df: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
 ) -> DataFrame:
     """mapInPandas image resize: payload in, re-encoded payload +
-    updated metadata out -- the schema/batch plumbing of a real resize
-    stage.  STUB decode/encode (PIL absent): ``fake=True``
-    deterministically truncates/pads the byte payload to width*height
-    so downstream stages see size-consistent binaries; a real
-    implementation swaps only the inner ``_resize_one``.
+    updated metadata out.  BMP payloads are REALLY resized --
+    decode -> nearest-neighbor resample -> re-encode -- with the
+    module's own codec; the output is a valid BMP of exactly
+    (width, height).  ``fake=True`` keeps the old byte truncate/pad
+    stub for non-image payloads; non-BMP image formats raise loudly
+    (PIL/opencv absent).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, not available in this environment; "
-            "pass fake=True for the deterministic stub"
-        )
     target = width * height
 
     def _resize(batches):
@@ -147,6 +236,13 @@ def resize_images(
 
         def _resize_one(p) -> bytes:
             b = bytes(p)
+            if not fake:
+                if b[:2] != b"BM":
+                    raise NotImplementedError(
+                        "only BMP resize is implemented natively; pass fake=True "
+                        "for the byte-stub"
+                    )
+                return encode_bmp(resize_nearest(decode_bmp(b), width, height))
             return (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
 
         for pdf in batches:
@@ -155,13 +251,13 @@ def resize_images(
             out["media_meta"] = [
                 {
                     "media_type": "image",
-                    "format": "fake",
+                    "format": "bmp" if not fake else "fake",
                     "width": width,
                     "height": height,
                     "duration_ms": None,
-                    "size_bytes": target,
+                    "size_bytes": len(mb),
                 }
-                for _ in range(len(pdf))
+                for mb in out["media_bytes"]
             ]
             yield out
 

@@ -1,6 +1,8 @@
-"""Multimodal-column queries (rows-only: the decode stub's output is
-not SQL-expressible; the plumbing semantics are unit-tested in
-tests/test_multimodal.py)."""
+"""Multimodal-column queries (rows-only: pixel decoding is not
+SQL-expressible; codec/resize semantics are unit-tested in
+tests/test_multimodal.py).  The fixture payloads are genuine BMPs and
+the decode/resize path operates on real pixels (operators/multimodal
+carries a from-scratch 24-bit BMP codec)."""
 
 from __future__ import annotations
 
@@ -18,16 +20,16 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", oracle=None, tags=("multimodal",))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> Arrow-batched feature extraction (mapInPandas)
-    with the deterministic fake decoder."""
-    feats = extract_features(_media(spark, sf_dir), fake_decode=True)
+    """Binary payload -> Arrow-batched feature extraction
+    (mapInPandas): real BMP decode into 4x4 grayscale grid features."""
+    feats = extract_features(_media(spark, sf_dir), fake_decode=False)
     return feats.select("doc_id", "feat_norm", F.size("features").alias("feat_dim"))
 
 
 @register("multimodal_resize", oracle=None, tags=("multimodal",))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: payload -> size-normalized payload + updated
-    metadata (stubbed decode; mapInPandas batch shape is real)."""
+    """Real image resize: BMP decode -> nearest-neighbor resample ->
+    BMP re-encode, metadata updated to the actual output geometry."""
     from ..operators.multimodal import resize_images
 
     resized = resize_images(_media(spark, sf_dir), width=16, height=16)

@@ -1,16 +1,49 @@
-"""Multimodal plumbing: schema, batch shape, determinism of the fake
-decoder, frame sampling, and that the real decode path fails loudly."""
+"""Multimodal pipeline: the from-scratch BMP codec (round-trip,
+resize correctness on real pixels), schema, batch shape, frame
+sampling, and that unsupported formats fail loudly."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from big_data_co2_emission_analysis_spark.operators.multimodal import (
     FEATURE_DIM,
     attach_media_columns,
+    decode_bmp,
     decode_image_batch,
+    encode_bmp,
     extract_features,
+    resize_nearest,
     sample_frames,
+    synth_bmp,
 )
+
+
+def test_bmp_codec_round_trip():
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 3), (12, 17), (32, 32)]:  # odd widths hit row padding
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(px))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, px)
+
+
+def test_bmp_decode_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG....definitely not a bitmap" * 3)
+
+
+def test_resize_nearest_pixel_semantics():
+    # 2x2 checkerboard scaled to 4x4: each source pixel becomes a 2x2 block
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[0, 0], [255, 0, 0]) and np.array_equal(up[1, 1], [255, 0, 0])
+    assert np.array_equal(up[0, 3], [0, 255, 0])
+    assert np.array_equal(up[3, 0], [0, 0, 255])
+    assert np.array_equal(up[3, 3], [255, 255, 255])
 
 
 @pytest.fixture(scope="module")
@@ -25,19 +58,28 @@ def test_media_schema(media):
     assert fields["media_meta"].startswith("struct<media_type:string")
 
 
-def test_extract_features_shape_and_determinism(media):
-    feats = extract_features(media, fake_decode=True)
+def test_media_payloads_are_real_bmps(media):
+    rows = media.select("media_bytes", "media_meta").collect()
+    for r in rows:
+        px = decode_bmp(bytes(r["media_bytes"]))  # decodes = valid BMP
+        assert px.shape == (r["media_meta"]["height"], r["media_meta"]["width"], 3)
+
+
+def test_extract_features_real_decode(media):
+    feats = extract_features(media, fake_decode=False)
     rows = feats.collect()
     assert len(rows) == 20
     assert all(len(r["features"]) == FEATURE_DIM for r in rows)
-    assert all(r["feat_norm"] >= 0 for r in rows)
-    rows2 = extract_features(media, fake_decode=True).collect()
+    assert all(0 <= v <= 1 for r in rows for v in r["features"])  # grid means in [0,1]
+    rows2 = extract_features(media, fake_decode=False).collect()
     assert sorted(r["feat_norm"] for r in rows) == sorted(r["feat_norm"] for r in rows2)
+    # features genuinely depend on pixels: the gradient images differ per doc
+    assert len({tuple(r["features"]) for r in rows}) > 1
 
 
-def test_real_decode_is_loud():
+def test_unsupported_format_decode_is_loud():
     with pytest.raises(NotImplementedError):
-        decode_image_batch([b"xx"], fake=False)
+        decode_image_batch([b"xx"], fake=False)  # not a BMP, no PIL fallback
 
 
 def test_frame_sampling(media):
@@ -79,16 +121,24 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert len(out) == 3 and all(len(r["features"]) == 16 for r in out)
 
 
-def test_resize_images_normalizes_payload_size(spark, sf_dir):
-    from big_data_co2_emission_analysis_spark.operators.multimodal import (
-        attach_media_columns,
-        resize_images,
-    )
+def test_resize_images_real_pixels(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.multimodal import resize_images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     media = attach_media_columns(docs)
-    resized = resize_images(media, width=8, height=8)
-    rows = resized.collect()
+    originals = {r["doc_id"]: bytes(r["media_bytes"]) for r in media.collect()}
+    rows = resize_images(media, width=8, height=8).collect()
     assert len(rows) == 20
-    assert all(len(r["media_bytes"]) == 64 for r in rows)
-    assert all(r["media_meta"]["width"] == 8 and r["media_meta"]["size_bytes"] == 64 for r in rows)
+    for r in rows:
+        px = decode_bmp(bytes(r["media_bytes"]))  # output is a valid BMP
+        assert px.shape == (8, 8, 3)
+        assert r["media_meta"]["width"] == 8 and r["media_meta"]["height"] == 8
+        assert r["media_meta"]["size_bytes"] == len(r["media_bytes"])
+        # nearest-neighbor correctness vs an independent resample of the source
+        src = decode_bmp(originals[r["doc_id"]])
+        assert np.array_equal(px, resize_nearest(src, 8, 8))
+
+
+def test_synth_bmp_deterministic():
+    assert synth_bmp(3, 16, 12) == synth_bmp(3, 16, 12)
+    assert synth_bmp(3, 16, 12) != synth_bmp(4, 16, 12)
