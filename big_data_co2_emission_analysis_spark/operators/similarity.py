@@ -114,6 +114,102 @@ def lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """(qid, qvec, cell, __qn) for each query's ``nprobe`` nearest
+    centroids.  The centroid table is tiny -> broadcast; the per-query
+    top-nprobe is a window over n_cells rows."""
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "qid",
+        "qvec",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", "cell", l2_norm(F.col("qvec")).alias("__qn"))
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 1,
+) -> None:
+    """Build phase of a persistent IVF index: fit the k-means coarse
+    quantizer ONCE, then write
+
+    - ``{index_path}/cells``      corpus rows + precomputed norms,
+      parquet **partitioned by cell** -- so a search's cell filter
+      becomes directory-level partition pruning, and
+    - ``{index_path}/centroids``  the n_cells centroid vectors.
+
+    Repeated searches (:func:`ivf_search`) read these and never refit;
+    at 100 TB the index is built by a scheduled job and the KMeans fit
+    itself runs on a sample, not per query batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("vec"),
+        array_to_vector(_d(F.col(corpus_vec))).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(c)
+    assigned = model.transform(c).select("id", "vec", "cell", l2_norm(F.col("vec")).alias("cn"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/cells")
+    centroids = c.sparkSession.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Search phase over a persisted IVF index: NO KMeans fit -- read
+    the centroid table (tiny), pick ``nprobe`` cells per query, scan
+    only those cells.  The cells scan is partition-pruned: the
+    broadcast join on the ``cell`` partition column lets Spark's
+    dynamic partition pruning skip the other cell directories
+    entirely, so search cost is ~(nprobe / n_cells) of the corpus."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    probes = _ivf_probes(queries, centroids, nprobe, query_id, query_vec)
+    cells = spark.read.parquet(f"{index_path}/cells")
+    scored = cells.join(F.broadcast(probes), "cell").select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias("vec_id"),
+        (dot(F.col("vec"), F.col("qvec")) / (F.col("cn") * F.col("__qn"))).alias("cosine"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,23 +250,7 @@ def ivf_topk(
     centroids = c.sparkSession.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)], "cell int, cvec array<double>"
     )
-    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "qid",
-        "qvec",
-        "cell",
-        F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
-    )
-    wq = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("qid", "qvec", "cell", l2_norm(F.col("qvec")).alias("__qn"))
-    )
+    probes = _ivf_probes(queries, centroids, nprobe, query_id, query_vec)
 
     scored = assigned.join(F.broadcast(probes), "cell").select(
         F.col("qid").alias(query_id),

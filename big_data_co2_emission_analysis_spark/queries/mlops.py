@@ -128,3 +128,56 @@ def knn_bruteforce_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return brute_force_topk(corpus, queries, k=10)
+
+
+@register("ann_ivf_persisted_top10", oracle=None, tags=("vector", "similarity"))
+def ann_ivf_persisted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PERSISTED index (build-once/search-many): the
+    index -- cell-partitioned corpus parquet + centroid table -- is
+    built on first use and cached per scale factor; the search never
+    refits KMeans and its cells scan is dynamic-partition-pruned down
+    to the probed cells."""
+    import os
+
+    from ..operators.similarity import ivf_build_index, ivf_search
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_path = f"/root/repo/.cache/ivf_index_{sf_name}"
+    if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ivf_build_index(emb.filter(F.col("vec_id") >= 5), index_path, n_cells=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_search(spark, index_path, queries, k=10, nprobe=3)
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """recall@10 of an ANN method vs the exact brute-force result,
+    per query -- the approximation quality surfaced AS DATA so it can
+    be tracked round over round (and asserted >= a floor in tests)."""
+    exact = knn_bruteforce_multi(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = approx_fn(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(
+        approx, (exact.query_id == approx.query_id) & (exact.exact_id == approx.vec_id), "left"
+    ).select(exact.query_id, F.col("vec_id").isNotNull().cast("int").alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg((F.sum("hit") / F.count("*")).alias("recall_at_10"))
+        .orderBy("query_id")
+    )
+
+
+@register("ann_lsh_recall", oracle=None, tags=("vector", "similarity", "metric"))
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH ANN path vs exact, per query."""
+    return _ann_recall(spark, sf_dir, ann_lsh_top10)
+
+
+@register("ann_ivf_recall", oracle=None, tags=("vector", "similarity", "metric"))
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF ANN path vs exact, per query."""
+    return _ann_recall(spark, sf_dir, ann_ivf_top10)

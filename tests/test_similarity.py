@@ -100,3 +100,55 @@ def test_cosine_math_known_values(spark):
     df = spark.createDataFrame([([1.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>")
     got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert got == pytest.approx(1 / math.sqrt(2), abs=1e-9)
+
+
+def test_ivf_persisted_index_search_without_refit(planted, tmp_path, monkeypatch):
+    """Build-once/search-many: after ivf_build_index, ivf_search must
+    (a) match the one-shot ivf_topk result exactly, (b) never fit
+    KMeans again (fit is monkeypatched to explode), and (c) lay the
+    corpus out partitioned by cell so the probe filter prunes
+    directories."""
+    import pyspark.ml.clustering as km_mod
+
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+    )
+
+    corpus, queries = planted
+    spark = corpus.sparkSession
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(corpus, idx, n_cells=N_CLUSTERS)
+
+    cell_dirs = [p.name for p in (tmp_path / "ivf" / "cells").iterdir() if p.name.startswith("cell=")]
+    assert len(cell_dirs) == N_CLUSTERS  # hive-partitioned layout
+
+    def _no_fit(self, *a, **kw):
+        raise AssertionError("search must not refit KMeans")
+
+    monkeypatch.setattr(km_mod.KMeans, "fit", _no_fit)
+    got = ivf_search(spark, idx, queries, k=10, nprobe=2)
+    rows = {(r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()}
+    monkeypatch.undo()
+
+    expect = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(corpus, queries, k=10, n_cells=N_CLUSTERS, nprobe=2).collect()
+    }
+    assert rows == expect
+
+
+def test_ann_recall_queries_self_validate(spark, sf_dir):
+    """The registry recall queries return per-query recall@10 in [0,1];
+    IVF/LSH on the fixture embeddings must clear a sane floor."""
+    from big_data_co2_emission_analysis_spark.queries.mlops import (
+        ann_ivf_recall,
+        ann_lsh_recall,
+    )
+
+    for fn, floor in ((ann_ivf_recall, 0.3), (ann_lsh_recall, 0.3)):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == 5
+        assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
+        avg = sum(r["recall_at_10"] for r in rows) / len(rows)
+        assert avg >= floor, f"{fn.__name__} avg recall {avg}"
