@@ -637,3 +637,73 @@ def brand_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a["p_brand"] == b["brand_b"]) & (a["ka"] < b["kb"]) & (F.abs(a["pa"] - b["pb"]) <= 50.0),
     )
     return pairs.groupBy("p_brand").agg(F.count("*").alias("n_pairs")).orderBy("p_brand")
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: the pay-shuffle-once primitive.  Both
+# tables are bucketed on the join key at write time (sources/writers.
+# write_bucketed), so the join runs with NO Exchange on either side --
+# at 100 TB this converts every repeat join on the key from a full
+# fact-table shuffle into a local sort-merge.  Bucketing doesn't change
+# query semantics, so the DuckDB oracle runs the same join on the raw
+# views and the CORRECTNESS row is a real value check.
+# --------------------------------------------------------------------------
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, num_buckets: int = 16) -> tuple[str, str]:
+    """Create per-scale-factor bucketed copies of orders/lineitem once
+    (idempotent); returns the two table names."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sources.writers import write_bucketed
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    ot, lt = f"orders_bkt_{sf_name}", f"lineitem_bkt_{sf_name}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+
+    def _ensure(name: str, src: str, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # bucketing metadata lives in the session catalog (in-memory
+        # here): a stale location from a previous session must go, the
+        # table is rewritten under THIS session's catalog
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        df = spark.read.parquet(f"{sf_dir}/{src}.parquet")
+        write_bucketed(df, name, [key], num_buckets=num_buckets, sort_cols=[key])
+
+    _ensure(ot, "orders", "o_orderkey")
+    _ensure(lt, "lineitem", "l_orderkey")
+    return ot, lt
+
+
+@register(
+    "bucketed_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "bucketed", "agg"),
+)
+def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders x lineitem revenue by priority over BUCKETED tables: the
+    orderkey join itself is exchange-free (both sides pre-hashed and
+    pre-sorted into the same 16 buckets); only the tiny 5-row priority
+    aggregate shuffles."""
+    from ._exact import dec
+
+    ot, lt = ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table(ot)
+    li = spark.table(lt)
+    revenue = dec("l_extendedprice", 2, 12) * dec(1 - F.col("l_discount"), 4, 6)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -156,3 +156,32 @@ def test_world_geo_join_broadcasts_fact_left_outer(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_priority_revenue_join_is_exchange_free(spark, sf_dir):
+    """The registry's bucketed join: both scans arrive pre-bucketed on
+    the join key, so the SortMergeJoin itself has no Exchange under it
+    (only the 5-row priority aggregate may shuffle).  At test scale the
+    optimizer would rather broadcast the tiny orders side, so broadcast
+    is disabled to expose the plan the join takes at 100 TB, where
+    neither side fits in memory and bucketing is what saves the
+    shuffle."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries.advanced import bucketed_priority_revenue
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_formatted(bucketed_priority_revenue(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    nodes = dict(re.findall(r"^\((\d+)\) (\w+)", plan, re.MULTILINE))
+    join_ids = [int(i) for i, n in nodes.items() if n == "SortMergeJoin"]
+    exchange_ids = [int(i) for i, n in nodes.items() if n == "Exchange"]
+    assert join_ids, plan[:400]
+    # node numbering is bottom-up: every Exchange must sit ABOVE the
+    # join (the aggregate/sort), none below it feeding the join
+    assert all(e > max(join_ids) for e in exchange_ids), (nodes, plan[:600])
+    assert "SelectedBucketsCount" in plan  # scans really are bucketed
