@@ -50,19 +50,54 @@ def scd2_apply(
 ) -> DataFrame:
     """Apply a CDC update batch to an existing SCD2 dimension.
 
-    Closed versions (valid_to set) pass through untouched; open
-    versions union with the updates and re-chain per key, which both
-    closes superseded versions and opens the new current ones.
-    Replay-consistent: build(prefix) then apply(suffix) equals
-    build(everything) -- asserted by the registry query's oracle.
+    Fast path: for keys whose updates are all at-or-after the key's
+    open version, closed versions pass through untouched and only the
+    open set re-chains with the updates.  LATE updates (ts before a
+    key's open ``valid_from``, i.e. landing inside already-closed
+    history) are detected per key and that key's FULL history is
+    re-chained so the new version splices into its correct interval --
+    without this, a late row would open a version overlapping a closed
+    one.  Only affected keys pay the rewrite; cold keys' closed rows
+    still never move.  Replay-consistent for ANY split of the change
+    stream: build(prefix) then apply(suffix) equals build(everything).
 
     ``updates`` carries the same key/attr columns plus ``ts_col``
     (no valid_from/valid_to).
     """
     closed = dim.filter(F.col("valid_to").isNotNull())
-    open_rows = dim.filter(F.col("valid_to").isNull()).drop("valid_from", "valid_to")
-    combined = open_rows.unionByName(updates)
-    return closed.unionByName(scd2_build(combined, key_cols, ts_col, order_cols))
+    open_rows = dim.filter(F.col("valid_to").isNull())
+    open_bare = open_rows.drop("valid_from", "valid_to")
+
+    # keys with at least one update older than the open version's start
+    open_from = open_rows.select(*key_cols, F.col("valid_from").alias("__open_from"))
+    late_keys = (
+        updates.join(open_from, key_cols, "inner")
+        .filter(F.col(ts_col) < F.col("__open_from"))
+        .select(*key_cols)
+        .distinct()
+    )
+
+    # fast path: untouched closed rows + re-chain of (open + updates)
+    closed_ok = closed.join(late_keys, key_cols, "left_anti")
+    fast = scd2_build(
+        open_bare.join(late_keys, key_cols, "left_anti").unionByName(
+            updates.join(late_keys, key_cols, "left_anti")
+        ),
+        key_cols,
+        ts_col,
+        order_cols,
+    )
+    # late keys: full-history re-chain (closed + open + updates)
+    late = scd2_build(
+        closed.join(late_keys, key_cols, "left_semi")
+        .drop("valid_from", "valid_to")
+        .unionByName(open_bare.join(late_keys, key_cols, "left_semi"))
+        .unionByName(updates.join(late_keys, key_cols, "left_semi")),
+        key_cols,
+        ts_col,
+        order_cols,
+    )
+    return closed_ok.unionByName(fast).unionByName(late)
 
 
 def scd2_current(dim: DataFrame) -> DataFrame:

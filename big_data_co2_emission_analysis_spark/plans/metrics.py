@@ -10,7 +10,8 @@ the plan shuffling more than the data requires?), and spill bytes
     from big_data_co2_emission_analysis_spark.plans.metrics import collect_metrics
     m = collect_metrics(df)
     # {'output_rows_scan': ..., 'bytes_scanned': ...,
-    #  'shuffle_bytes_written': ..., 'spill_bytes': ..., 'n_rows': ...}
+    #  'shuffle_bytes_written': ..., 'shuffle_bytes_read': ...,
+    #  'spill_bytes': ..., 'n_rows': ...}
 """
 
 from __future__ import annotations
@@ -20,7 +21,12 @@ from pyspark.sql import DataFrame
 #: metric-name fragments -> aggregate key
 _METRIC_KEYS = {
     "number of output rows": "output_rows_total",
-    "bytes read": "bytes_scanned",
+    # file-scan bytes ("size of files read" on Scan nodes) kept strictly
+    # separate from shuffle-read traffic ("remote/local bytes read" on
+    # shuffle readers): bytes_scanned answers "is pruning working?",
+    # shuffle_bytes_read answers "is the plan moving too much?"
+    "size of files read": "bytes_scanned",
+    "bytes read": "shuffle_bytes_read",
     "shuffle bytes written": "shuffle_bytes_written",
     "spill size": "spill_bytes",
 }
@@ -35,10 +41,13 @@ def _walk(node, out: dict) -> None:
         metric = kv._2()
         label = metric.name().toString() if hasattr(metric.name(), "toString") else str(metric.name())
         for frag, key in _METRIC_KEYS.items():
-            if frag in label:
-                out[key] = out.get(key, 0) + metric.value()
-                if key == "output_rows_total" and "Scan" in name:
-                    out["output_rows_scan"] = out.get("output_rows_scan", 0) + metric.value()
+            if frag not in label:
+                continue
+            if key == "bytes_scanned" and "Scan" not in name:
+                continue
+            out[key] = out.get(key, 0) + metric.value()
+            if key == "output_rows_total" and "Scan" in name:
+                out["output_rows_scan"] = out.get("output_rows_scan", 0) + metric.value()
     # children, or -- for leaf-looking AQE wrappers whose subtree hides
     # behind an accessor (AdaptiveSparkPlan.executedPlan,
     # QueryStageExec.plan) -- the unwrapped plan.  Unwrapping only when

@@ -807,13 +807,14 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     events = _t(spark, sf_dir, "events")
+    # full microsecond precision: cast('long') truncates to whole
+    # seconds, and a sub-second-offset gap straddling the 1800 s
+    # boundary would then disagree with the oracle's exact
+    # INTERVAL comparison (and the session_window streaming parity)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = events.select(
         "user_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
-            1,
-        )
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1)
         .otherwise(0)
         .alias("new_session"),
     )

@@ -139,8 +139,12 @@ def test_collect_metrics_quantifies_shuffle_efficiency(spark, sf_dir):
     assert m["n_rows"] == 6
     assert m["output_rows_scan"] >= 5000  # full sf0.001 lineitem scan
     assert m["spill_bytes"] == 0
+    # bytes_scanned is file-scan bytes only (parquet "size of files
+    # read"), never shuffle traffic: a multi-KB scan vs a tiny shuffle
+    assert m["bytes_scanned"] > 10_000
     # map-side combine: 6 groups x partitions cross the wire, not rows
     assert m["shuffle_bytes_written"] < m["output_rows_scan"]
+    assert m["shuffle_bytes_written"] < m["bytes_scanned"]
 
 
 def test_world_geo_join_broadcasts_fact_left_outer(spark, sf_dir):

@@ -133,12 +133,17 @@ def test_salted_join_parity_random_skew(spark, keys, n_right):
         min_size=1,
         max_size=14,
     ),
-    split=st.integers(0, 30),
+    split=st.integers(0, 14),
 )
 @settings(**_SETTINGS)
 def test_scd2_replay_consistency(spark, changes, split):
     """build(prefix) + apply(suffix) == build(all) for any change
-    stream and any split point (the MERGE-emulation contract)."""
+    stream and any split point (the MERGE-emulation contract).
+
+    The split is by ARRIVAL order, not timestamp, so the suffix batch
+    routinely carries updates with timestamps inside the prefix's
+    already-closed history -- exercising scd2_apply's late-update
+    full-history re-chain, not just the append fast path."""
     from big_data_co2_emission_analysis_spark.operators.scd2 import scd2_apply, scd2_build
 
     rows = [
@@ -147,8 +152,7 @@ def test_scd2_replay_consistency(spark, changes, split):
     ]
     schema = "k long, ts timestamp, seq long, attr double"
     all_df = spark.createDataFrame(rows, schema)
-    prefix = [r for r in rows if r[1] < _T0 + timedelta(days=split)]
-    suffix = [r for r in rows if r[1] >= _T0 + timedelta(days=split)]
+    prefix, suffix = rows[:split], rows[split:]
 
     full = scd2_build(all_df, ["k"], "ts", order_cols=["seq"])
     if prefix and suffix:

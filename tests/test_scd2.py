@@ -85,3 +85,35 @@ def test_apply_out_of_order_update_slots_before_open_row(spark):
         (1, "a", "2024-01-01", "2024-02-01"),
         (1, "b", "2024-02-01", "None"),
     ]
+
+
+def test_apply_late_update_inside_closed_history(spark):
+    """A late update older than the key's LAST CLOSED version must
+    splice into the closed interval (full re-chain for that key), never
+    produce overlapping validity ranges; untouched keys keep their
+    closed rows byte-identical."""
+    initial = spark.createDataFrame(
+        [
+            (1, "a", _d("2024-01-01")),
+            (1, "c", _d("2024-03-01")),
+            (9, "z1", _d("2024-01-01")),
+            (9, "z2", _d("2024-02-01")),
+        ],
+        "k long, attr string, ts date",
+    )
+    dim = scd2_build(initial, ["k"], "ts")
+    # lands between the two EXISTING closed/open versions of key 1:
+    # older than the open row AND inside already-closed history
+    late = spark.createDataFrame([(1, "b", _d("2024-02-01"))], "k long, attr string, ts date")
+    merged = scd2_apply(dim, late, ["k"], "ts")
+    assert _rows(merged) == [
+        (1, "a", "2024-01-01", "2024-02-01"),  # closed row re-chained to close at b
+        (1, "b", "2024-02-01", "2024-03-01"),  # spliced into its interval
+        (1, "c", "2024-03-01", "None"),
+        (9, "z1", "2024-01-01", "2024-02-01"),  # cold key untouched
+        (9, "z2", "2024-02-01", "None"),
+    ]
+    # no overlaps anywhere: each version ends exactly where the next begins
+    from big_data_co2_emission_analysis_spark.operators.scd2 import scd2_current
+
+    assert scd2_current(merged).count() == 2

@@ -145,6 +145,26 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_expected
 
 
+def test_stream_to_parquet_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The at-least-once window foreachBatch leaves open: if a batch
+    re-runs under the same id (crash after write, before checkpoint
+    commit), the partition is REPLACED, not appended -- no duplicate
+    rows."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        write_batch_idempotent,
+    )
+
+    out = str(tmp_path / "out")
+    batch = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase").limit(50)
+    write_batch_idempotent(batch, 7, out)
+    n1 = spark.read.parquet(out).count()
+    write_batch_idempotent(batch, 7, out)  # replayed batch, same id
+    assert spark.read.parquet(out).count() == n1
+    write_batch_idempotent(batch, 8, out)  # genuinely new batch appends
+    assert spark.read.parquet(out).count() == 2 * n1
+    assert {r["batch_id"] for r in spark.read.parquet(out).select("batch_id").distinct().collect()} == {7, 8}
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir):
     from big_data_co2_emission_analysis_spark.streaming.windows import (
         stream_stream_interval_join,
