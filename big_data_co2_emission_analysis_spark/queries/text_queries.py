@@ -264,3 +264,71 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: the classic text-weighting pipeline, fully SQL-expressible so
+# it gets a real oracle.  Scale shape: two shuffles (doc-term tf, term
+# df); the per-term document-frequency table is tiny relative to the
+# token stream, so the idf join broadcasts; top-3 per doc is a window
+# over the already-aggregated (doc, term) frame -- the token explode
+# itself never leaves its stage.  Smooth idf = ln((N+1)/(df+1)) + 1
+# (sklearn's smoothing, public), rounded to 6 dp on both engines to
+# absorb ln() last-ulp differences.
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    tokens = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))  # lazy scalar, no collect
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
