@@ -87,6 +87,70 @@ def synth_bmp(seed: int, width: int, height: int) -> bytes:
     b = (seed * 53 + x * 5 + y * 2) % 256
     return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
 
+
+# --------------------------------------------------------------------------
+# WAV codec (RIFF/WAVE, 16-bit PCM).  Public format: 12-byte RIFF
+# header + 'fmt ' chunk (PCM params) + 'data' chunk of little-endian
+# int16 samples.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000, channels: int = 1) -> bytes:
+    """1-D int16 sample array -> mono (or interleaved) WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 sample array, sample_rate).  Supports the
+    16-bit PCM encoding this module writes (and standard .wav files);
+    walks chunks, so extra chunks (LIST/INFO) are skipped."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, bits, fmt_code = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, _ch, sample_rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", data, body)
+        elif cid == b"data":
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={fmt_code} bits={bits} unsupported")
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+            return samples, int(sample_rate)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+def synth_wav(seed: int, n_samples: int = 1600, sample_rate: int = 16_000) -> bytes:
+    """Deterministic test-audio generator: a seed-keyed tone with one
+    harmonic (distinct per doc, reproducible)."""
+    f0 = 110.0 + (seed % 40) * 20.0
+    t = np.arange(n_samples) / sample_rate
+    wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2 * f0 * t + seed % 7)
+    return encode_wav((wave * 32767 * 0.5).astype(np.int16), sample_rate)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Per-clip scalar features from real samples: duration, RMS level
+    (normalized to [-1,1] full scale), zero-crossing rate, peak."""
+    x = samples.astype(np.float64) / 32768.0
+    n = max(len(x), 1)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "duration_ms": int(round(1000.0 * len(x) / sample_rate)),
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "zero_crossing_rate": zc / n,
+        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+        "sample_rate": int(sample_rate),
+    }
+
 #: Typed metadata carried alongside every opaque media payload.
 MEDIA_METADATA_TYPE = T.StructType(
     [
@@ -281,3 +345,56 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
         .select(F.col(id_col), F.explode(frames).alias("f"))
         .select(id_col, F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame_bytes").alias("frame_bytes"))
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def attach_audio_columns(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: synthesize a genuine 16-bit PCM WAV payload per
+    row (seed-keyed tone, per-doc length) with typed metadata."""
+    n = (F.lit(1200) + (F.col(id_col) % 5) * 200).cast("int")
+
+    @F.pandas_udf("binary")
+    def _wav(ids: pd.Series, ns: pd.Series) -> pd.Series:
+        return pd.Series([synth_wav(int(i), int(nv)) for i, nv in zip(ids, ns)])
+
+    payload = _wav(F.col(id_col), n)
+    out = df.select(F.col(id_col), payload.alias("media_bytes"), n.alias("__n"))
+    return out.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("__n") * 1000 / 16_000).cast("long").alias("duration_ms"),
+            F.length("media_bytes").cast("long").alias("size_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction over (doc_id, media_bytes):
+    real WAV decode -> per-clip scalar features, Arrow-batched, nothing
+    accumulated per partition."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["media_bytes"]):
+                samples, sr = decode_wav(bytes(p))
+                rows.append({"doc_id": i, **audio_features(samples, sr)})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media_bytes").mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)

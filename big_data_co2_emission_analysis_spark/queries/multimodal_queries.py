@@ -63,3 +63,14 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "format")
     )
+
+
+@register("multimodal_audio_features", oracle=None, tags=("multimodal", "audio"))
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode (from-scratch RIFF/PCM codec) -> per-clip
+    duration/RMS/zero-crossing/peak features via mapInPandas."""
+    from ..operators.multimodal import attach_audio_columns, extract_audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audio = attach_audio_columns(docs)
+    return extract_audio_features(audio)

@@ -142,3 +142,59 @@ def test_resize_images_real_pixels(spark, sf_dir):
 def test_synth_bmp_deterministic():
     assert synth_bmp(3, 16, 12) == synth_bmp(3, 16, 12)
     assert synth_bmp(3, 16, 12) != synth_bmp(4, 16, 12)
+
+
+def test_wav_codec_round_trip():
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    for n in (1, 160, 1601):  # odd length exercises word-alignment
+        samples = rng.randint(-32768, 32767, size=n).astype(np.int16)
+        out, sr = decode_wav(encode_wav(samples, 8000))
+        assert sr == 8000
+        assert np.array_equal(out, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x00not audio" * 5)
+
+
+def test_audio_features_known_sine():
+    """A pure sine of amplitude A has RMS A/sqrt(2) and zero-crossing
+    rate 2f/sr -- the features must recover both from decoded bytes."""
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr, f, amp, n = 16_000, 400.0, 0.5, 16_000
+    t = np.arange(n) / sr
+    wav = encode_wav((amp * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16), sr)
+    samples, got_sr = decode_wav(wav)
+    feats = audio_features(samples, got_sr)
+    assert feats["duration_ms"] == 1000
+    assert feats["rms"] == pytest.approx(amp / np.sqrt(2), rel=0.01)
+    assert feats["zero_crossing_rate"] == pytest.approx(2 * f / sr, rel=0.01)
+    assert feats["peak"] == pytest.approx(amp, rel=0.01)
+
+
+def test_audio_pipeline_end_to_end(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        attach_audio_columns,
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    audio = attach_audio_columns(docs)
+    rows = extract_audio_features(audio).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["sample_rate"] == 16_000
+        assert 50 <= r["duration_ms"] <= 200  # 1200..2000 samples at 16k
+        assert 0.1 < r["rms"] < 0.5 and 0 < r["zero_crossing_rate"] < 0.2
+    # meta duration matches decoded duration
+    meta = {r["doc_id"]: r["media_meta"]["duration_ms"] for r in audio.collect()}
+    got = {r["doc_id"]: r["duration_ms"] for r in rows}
+    assert all(abs(meta[k] - got[k]) <= 1 for k in got)
