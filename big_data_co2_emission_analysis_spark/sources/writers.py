@@ -70,3 +70,58 @@ def to_pandas_cached(df: DataFrame):
     this helper simply documents the contract and keeps Arrow on.
     """
     return df.toPandas()
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes``-sized files (the long-running-pipeline
+    housekeeping job -- streaming sinks and per-batch appends strew
+    thousands of tiny files, and at 100 TB the resulting file-listing +
+    task-scheduling overhead dominates reads).
+
+    Sizing uses the CURRENT on-disk bytes, so compression ratio carries
+    over; ``sort_cols`` re-clusters rows during the rewrite so row-group
+    min/max statistics become selective again.  The rewrite lands in a
+    sibling directory and swaps in with two renames (crash before the
+    final rename leaves the original intact).
+
+    Returns {files_before, files_after, bytes, rows}.
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = _stats(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp, old = path.rstrip("/") + ".compacting", path.rstrip("/") + ".old"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "rows": rows,
+    }

@@ -93,3 +93,32 @@ def test_sorted_write_produces_selective_row_group_stats(spark, sf_dir, tmp_path
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """40 tiny appended files -> a handful of target-sized files with
+    identical content; the original survives a crash (rewrite lands in
+    a sibling dir before the swap)."""
+    import os
+
+    from big_data_co2_emission_analysis_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "t")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(400)
+    # simulate a streaming sink's append litter: 40 single-row-group files
+    for i in range(40):
+        src.filter(F.col("o_orderkey") % 40 == i).coalesce(1).write.mode("append").parquet(out)
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    checksum_before = before.agg(F.sum(F.crc32(F.col("o_orderkey").cast("string")))).collect()[0][0]
+
+    stats = compact_parquet(spark, out, target_file_bytes=1 << 20)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == n_before
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    checksum_after = after.agg(F.sum(F.crc32(F.col("o_orderkey").cast("string")))).collect()[0][0]
+    assert checksum_after == checksum_before
+    assert not os.path.exists(out + ".compacting") and not os.path.exists(out + ".old")
