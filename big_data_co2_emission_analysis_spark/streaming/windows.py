@@ -264,3 +264,57 @@ def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFram
         # materialize before the checkpoint dir vanishes
         result = spark.table(name).localCheckpoint(eager=True)
     return result
+
+
+def stream_scd2_merge(
+    stream_df: DataFrame,
+    dim_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint: str,
+    order_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC -> SCD2 dimension maintenance: each micro-batch of
+    change rows is merged into the parquet-backed dimension with
+    ``scd2_apply`` (anti-join + window re-chain, late updates spliced
+    per key) inside foreachBatch -- the MERGE-INTO production pattern
+    without a table format.
+
+    The merged dimension is rewritten to a sibling dir and swapped in
+    with renames, so a crash mid-batch leaves the previous dim intact
+    and the checkpoint replays the batch against it (the rewrite is
+    deterministic per batch => idempotent on replay).  At 100 TB the
+    same hook targets Delta/Iceberg MERGE instead of a full rewrite;
+    the scd2_apply plan itself only rewrites affected keys' history.
+    """
+    import os
+    import shutil
+
+    from ..operators.scd2 import scd2_apply
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(dim_path):
+            dim = spark.read.parquet(dim_path)
+        else:  # empty dim with (keys..., attrs..., valid_from, valid_to)
+            dim = (
+                batch_df.limit(0)
+                .withColumn("valid_from", F.col(ts_col))
+                .withColumn("valid_to", F.col(ts_col))
+            )
+        merged = scd2_apply(dim, batch_df, key_cols, ts_col, order_cols)
+        tmp, old = dim_path.rstrip("/") + ".merging", dim_path.rstrip("/") + ".old"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dim_path):
+            os.rename(dim_path, old)
+        os.rename(tmp, dim_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

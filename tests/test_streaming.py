@@ -187,3 +187,48 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         & (F.col("cts") <= F.col("pts")),
     ).count()
     assert res.count() == batch_n
+
+
+def test_stream_scd2_merge_matches_batch_build(spark, tmp_path):
+    """Change files streamed one-per-trigger through foreachBatch SCD2
+    merges must leave the SAME dimension as a one-shot batch build over
+    all changes -- including a late update arriving in a later batch."""
+    from big_data_co2_emission_analysis_spark.operators.scd2 import scd2_build
+    from big_data_co2_emission_analysis_spark.streaming.windows import stream_scd2_merge
+
+    schema = "k long, attr string, ts timestamp"
+    batches = [
+        [(1, "a", "2024-01-01"), (2, "x", "2024-01-05")],
+        [(1, "c", "2024-03-01"), (3, "m", "2024-02-01")],
+        [(1, "b", "2024-02-01"), (2, "y", "2024-01-20")],  # late: inside closed history
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, a, __import__("datetime").datetime.fromisoformat(t)) for k, a, t in rows], schema
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    dim_path = str(tmp_path / "dim")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_scd2_merge(stream, dim_path, ["k"], "ts", str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    all_rows = [r for b in batches for r in b]
+    full = scd2_build(
+        spark.createDataFrame(
+            [(k, a, __import__("datetime").datetime.fromisoformat(t)) for k, a, t in all_rows],
+            schema,
+        ),
+        ["k"],
+        "ts",
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
+    )
+    assert canon(spark.read.parquet(dim_path)) == canon(full)
