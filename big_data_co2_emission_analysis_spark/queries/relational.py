@@ -884,3 +884,28 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(withReplacement=False, fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@register("approx_distinct_calibration", oracle=None, tags=("agg", "approx", "metric"))
+def approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ error surfaced AS DATA: exact distinct, approx
+    distinct (rsd=0.05), and the relative error per group, so sketch
+    accuracy is tracked round over round (and floor-asserted in tests).
+    Sketch values are engine-specific -> rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("approx_nd"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            "approx_nd",
+            F.round(F.abs(F.col("approx_nd") - F.col("exact_nd")) / F.col("exact_nd"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

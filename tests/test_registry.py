@@ -101,3 +101,14 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     }
     reported = {r["brand"] for r in freq_brands_sketch(spark, sf_dir).collect()}
     assert true_heavy <= reported
+
+
+def test_approx_distinct_calibration_within_rsd(spark, sf_dir):
+    """approx_count_distinct at rsd=0.05 must land within ~3 rsd of the
+    exact count on every group (the sketch's own error contract)."""
+    from big_data_co2_emission_analysis_spark.queries.relational import (
+        approx_distinct_calibration,
+    )
+
+    rows = approx_distinct_calibration(spark, sf_dir).collect()
+    assert rows and all(r["rel_error"] <= 0.15 for r in rows)
