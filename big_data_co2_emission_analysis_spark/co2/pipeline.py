@@ -114,7 +114,11 @@ def selected_countries(df: DataFrame, names: list[str] | None = None) -> DataFra
     )
 
 
-def world_join(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+def world_join(
+    df: DataFrame,
+    spark: SparkSession | None = None,
+    value_cols: tuple[str, ...] = ("change", "isReduced"),
+) -> DataFrame:
     """Reference project-co2.py:137-147, entirely in Spark: patch the
     four '-99' ISO codes on the world dim, rename `Country Code` to
     `iso_a3`, LEFT-join from the dim so every world row survives --
@@ -128,9 +132,7 @@ def world_join(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     from .world_dim import apply_iso_patches, world_dim_df
 
     dim = apply_iso_patches(world_dim_df(spark or df.sparkSession))
-    co2 = df.withColumnRenamed("Country Code", "iso_a3").select(
-        "iso_a3", "change", "isReduced"
-    )
+    co2 = df.withColumnRenamed("Country Code", "iso_a3").select("iso_a3", *value_cols)
     return dim.join(F.broadcast(co2), on="iso_a3", how="left")
 
 

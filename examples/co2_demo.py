@@ -8,9 +8,11 @@ Differences from the reference, on purpose (SURVEY.md section 2.13):
 the num_increased copy-paste bug is fixed, change = 2014 - 2004 (the
 primary script's sign), the cluster-label Python UDF is a native
 expression, and the lineage is cached instead of re-executed per
-action.  The GeoPandas choropleth tail is out of engine scope
-(SURVEY.md S7); its input (the iso_a3-keyed result table) is printed
-instead.
+action.  The geo join itself (reference project-co2.py:137-147) runs
+IN SPARK against the engine's world dimension (co2/world_dim.py) with
+the reference's four ISO-code patches; only the matplotlib rendering
+tail is out of engine scope (SURVEY.md S7) -- the choropleth's exact
+input table (world_with_cluster) is printed instead.
 """
 
 import sys
@@ -55,6 +57,19 @@ def main() -> None:
     ]:
         print(f"-- {title}")
         df.show(truncate=False)
+
+    # the reference's world_with_cluster (project-co2.py:146-147):
+    # patched-dim LEFT join, unmatched countries null (grey on its map)
+    from big_data_co2_emission_analysis_spark.co2.pipeline import world_join
+
+    world = world_join(
+        res.assigned.select("Country Code", "change", "isReduced", "cluster"),
+        spark,
+        value_cols=("change", "isReduced", "cluster"),
+    ).cache()
+    n_matched = world.filter("change IS NOT NULL").count()
+    print(f"-- world_with_cluster: {n_matched} matched, {177 - n_matched} grey (no data)")
+    world.orderBy("iso_a3", "name").show(10, truncate=False)
 
     spark.stop()
 
