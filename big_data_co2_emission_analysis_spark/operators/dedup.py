@@ -251,6 +251,14 @@ def _banded_postings(
     rng = random.Random(42)
     a_consts = [rng.randrange(1, 1 << 31) | 1 for _ in range(num_hashes)]
     b_consts = [rng.randrange(0, 1 << 31) for _ in range(num_hashes)]
+    # universal-hash modulus: the smallest prime > 2^32.  WITHOUT the
+    # mod, min(h*a_i + b_i) is attained at the minimal h for every i
+    # (the affine maps are monotone), which silently collapses the k
+    # "independent" minhashes into one -- est_jaccard degenerates to
+    # {0,1} and a doc whose extra shingle hashes below the shared min
+    # never collides with its near-dups.  h < 2^32 and a_i < 2^31 keep
+    # h*a_i + b_i < 2^63 (no ANSI overflow before the pmod).
+    prime_mod = (1 << 32) + 15
 
     from pyspark import StorageLevel
 
@@ -267,7 +275,10 @@ def _banded_postings(
     affine = hashed.select(
         "id",
         *[
-            (F.col("__h") * F.lit(a_consts[i]).cast("long") + F.lit(b_consts[i]).cast("long")).alias(f"__v{i}")
+            F.pmod(
+                F.col("__h") * F.lit(a_consts[i]).cast("long") + F.lit(b_consts[i]).cast("long"),
+                F.lit(prime_mod).cast("long"),
+            ).alias(f"__v{i}")
             for i in range(num_hashes)
         ],
     )
@@ -475,4 +486,81 @@ def embedding_near_dup_pairs(
             F.col("datasetB.id").alias("id_b"),
             (1 - F.col("euclid") * F.col("euclid") / 2).alias("cosine"),
         )
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, component)
+    where component = min id reachable from the node.  This is the last
+    step of large-scale dedup -- pair mining (MinHash/SimHash/Jaccard)
+    emits edges, components group mutually-similar docs, and one
+    survivor per component is kept.
+
+    Algorithm: large-star/small-star-style label propagation --
+    every node starts labeled with itself; each round joins labels
+    across edges and takes the min of the neighborhood; stop when no
+    label changes.  Rounds needed ~ O(log(diameter)) in practice for
+    near-dup graphs (clusters are dense and tiny); each round is one
+    join + one groupBy (two shuffles) on the EDGE list only, never the
+    corpus.  The changed-count per round is a small aggregate -- the
+    driver only steers, data never collects.
+
+    Raises if labels have not converged after ``max_iterations`` (a
+    pathological long-chain graph; raise the limit for those).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    # self-loop keeps isolated representation: every node appears as src
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iterations):
+        # propagate: each node takes min(own, neighbors') component
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep ONE survivor per near-dup component (the min id) plus all
+    docs that appear in no pair.  The standard tail of a MinHash dedup
+    pipeline: pairs -> components -> anti-join the losers."""
+    comps = connected_components(pairs, a_col, b_col)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("__loser"))
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
     )

@@ -138,3 +138,42 @@ def test_embedding_near_dup_pairs(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.99
     assert all(p == (0, 1) for p in got)
+
+
+def test_connected_components_merges_transitive_pairs(spark):
+    """(1-2, 2-3) and (5-6) -> components {1,2,3} and {5,6}; isolated
+    nodes in no pair simply don't appear (they keep themselves on
+    dedup)."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs several propagation rounds (log-diameter),
+    not one -- guards against a single-hop-only implementation."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_dedup_by_components_end_to_end(spark):
+    """Full pipeline: banded MinHash pairs -> components -> one
+    survivor per duplicate cluster, non-duplicates untouched."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        dedup_by_components,
+        minhash_banded_pairs,
+    )
+
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE), (4, BASE + " extra")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_banded_pairs(corpus, "doc_id", "text", min_jaccard=0.3)
+    kept = sorted(r["doc_id"] for r in dedup_by_components(corpus, pairs, "doc_id").collect())
+    # 0,1,3,4 all near-dup into one component -> survivor 0; 2 untouched
+    assert kept == [0, 2]
