@@ -398,3 +398,144 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "media_bytes").mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Y4M codec (YUV4MPEG2, C420 planar).  Public format: one ASCII header
+# line, then per frame "FRAME\n" + planar Y (W*H), U, V (W/2 * H/2)
+# bytes.  Color math is full-range BT.601.
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_yuv420(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 + (b - y) * 0.564
+    v = 128.0 + (r - y) * 0.713
+    sub = lambda p: (  # 2x2 box mean  # noqa: E731
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
+    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(sub(u)), clip(sub(v))
+
+
+def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    up = lambda p: p.repeat(2, axis=0).repeat(2, axis=1)  # noqa: E731
+    yf, uf, vf = y.astype(np.float64), up(u).astype(np.float64) - 128, up(v).astype(np.float64) - 128
+    r = yf + 1.403 * vf
+    b = yf + 1.773 * uf
+    g = yf - 0.714 * vf - 0.344 * uf
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """List of (H, W, 3) RGB frames (even H, W) -> YUV4MPEG2 bytes."""
+    h, w = frames[0].shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A0:0 C420jpeg\n".encode()]
+    for f in frames:
+        y, u, v = _rgb_to_yuv420(f)
+        out += [b"FRAME\n", y.tobytes(), u.tobytes(), v.tobytes()]
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int]:
+    """YUV4MPEG2 bytes -> (list of RGB frames, fps)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    w = h = fps = None
+    for tok in data[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+    if not w or not h:
+        raise ValueError("Y4M header missing geometry")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame header")
+        body = fnl + 1
+        y = np.frombuffer(data, np.uint8, ysz, body).reshape(h, w)
+        u = np.frombuffer(data, np.uint8, csz, body + ysz).reshape(h // 2, w // 2)
+        v = np.frombuffer(data, np.uint8, csz, body + ysz + csz).reshape(h // 2, w // 2)
+        frames.append(_yuv420_to_rgb(y, u, v))
+        pos = body + ysz + 2 * csz
+    return frames, fps or 25
+
+
+def synth_y4m(seed: int, n_frames: int = 8, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic test-video generator: the synth_bmp gradient
+    translated per frame (a 'moving' pattern, distinct per doc)."""
+    frames = [
+        decode_bmp(synth_bmp(seed + 7 * t, width, height)) for t in range(n_frames)
+    ]
+    return encode_y4m(frames, fps=10)
+
+
+def sample_video_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode the Y4M payload, keep every
+    ``every``-th frame as actual pixels, re-encode each kept frame as a
+    standalone BMP -- (doc_id, frame_idx, frame_bmp, width, height).
+    The mapInPandas iterator streams batches; one input row fans out to
+    ceil(n_frames / every) output rows."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bmp", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _sample(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["media_bytes"]):
+                frames, _fps = decode_y4m(bytes(p))
+                for idx in range(0, len(frames), every):
+                    f = frames[idx]
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "frame_idx": idx,
+                            "frame_bmp": encode_bmp(f),
+                            "width": f.shape[1],
+                            "height": f.shape[0],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media_bytes").mapInPandas(_sample, schema)
+
+
+def attach_video_columns(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: genuine Y4M payload per row (seed-keyed moving
+    gradient, per-doc frame count) with typed metadata."""
+    nf = (F.lit(6) + F.col(id_col) % 4).cast("int")
+
+    @F.pandas_udf("binary")
+    def _y4m(ids: pd.Series, nfs: pd.Series) -> pd.Series:
+        return pd.Series([synth_y4m(int(i), int(n)) for i, n in zip(ids, nfs)])
+
+    payload = _y4m(F.col(id_col), nf)
+    out = df.select(F.col(id_col), payload.alias("media_bytes"), nf.alias("__nf"))
+    return out.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("y4m").alias("format"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(12).cast("int").alias("height"),
+            (F.col("__nf") * 100).cast("long").alias("duration_ms"),  # 10 fps
+            F.length("media_bytes").cast("long").alias("size_bytes"),
+        ).alias("media_meta"),
+    )

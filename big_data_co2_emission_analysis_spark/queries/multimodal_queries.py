@@ -65,6 +65,24 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_video_frames", oracle=None, tags=("multimodal", "video"))
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling: from-scratch Y4M (YUV4MPEG2 C420)
+    decode -> keep every 2nd frame -> re-encode each as a BMP.  One
+    input row fans out to ceil(n_frames/2) rows via mapInPandas."""
+    from ..operators.multimodal import attach_video_columns, sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = sample_video_frames(attach_video_columns(docs), every=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bmp").cast("long").alias("frame_bytes"),
+        "width",
+        "height",
+    )
+
+
 @register("multimodal_audio_features", oracle=None, tags=("multimodal", "audio"))
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV decode (from-scratch RIFF/PCM codec) -> per-clip

@@ -180,6 +180,84 @@ def test_audio_features_known_sine():
     assert feats["peak"] == pytest.approx(amp, rel=0.01)
 
 
+def test_y4m_codec_round_trip():
+    """RGB -> YUV420 -> RGB is lossy (chroma subsample) but must keep
+    geometry/frame count exact and luma close; pure-gray frames survive
+    bit-exactly (U=V=128 everywhere, no chroma loss)."""
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = [
+        np.repeat(rng.randint(0, 256, size=(6, 8, 1), dtype=np.uint8), 3, axis=2)
+        for _ in range(3)
+    ]
+    back, fps = decode_y4m(encode_y4m(gray, fps=10))
+    assert fps == 10 and len(back) == 3
+    for a, b in zip(gray, back):
+        assert np.array_equal(a, b)
+
+    color = [rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8) for _ in range(2)]
+    back2, _ = decode_y4m(encode_y4m(color))
+    assert len(back2) == 2 and back2[0].shape == (6, 8, 3)
+    # luma is preserved within rounding: compare BT.601 Y of in vs out
+    def luma(p):
+        return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+
+    assert np.abs(luma(color[0]) - luma(back2[0])).max() < 3.0
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m stream")
+    with pytest.raises(ValueError):
+        encode_y4m([np.zeros((5, 8, 3), dtype=np.uint8)])  # odd height
+
+
+def test_video_frame_sampling_real_pixels(spark, sf_dir):
+    """Every 2nd frame of each Y4M payload comes back as a valid BMP
+    whose pixels equal the decoded source frame."""
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        attach_video_columns,
+        decode_y4m,
+        sample_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    video = attach_video_columns(docs)
+    payloads = {r["doc_id"]: bytes(r["media_bytes"]) for r in video.collect()}
+    rows = sample_video_frames(video, every=2).collect()
+    # per-doc frame count: ceil(n_frames / 2), n_frames = 6 + doc_id % 4
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(payloads)
+    for doc_id, frs in by_doc.items():
+        src_frames, _ = decode_y4m(payloads[doc_id])
+        nf = len(src_frames)
+        assert nf == 6 + doc_id % 4
+        assert sorted(r["frame_idx"] for r in frs) == list(range(0, nf, 2))
+        for r in frs:
+            px = decode_bmp(bytes(r["frame_bmp"]))
+            assert px.shape == (r["height"], r["width"], 3)
+            assert np.array_equal(px, src_frames[r["frame_idx"]])
+
+
+def test_video_metadata_consistent(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        attach_video_columns,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    rows = attach_video_columns(docs).collect()
+    for r in rows:
+        m = r["media_meta"]
+        assert m["media_type"] == "video" and m["format"] == "y4m"
+        assert m["size_bytes"] == len(r["media_bytes"])
+        # 10 fps, n_frames = 6 + doc_id % 4 -> duration_ms = n_frames * 100
+        assert m["duration_ms"] == (6 + r["doc_id"] % 4) * 100
+
+
 def test_audio_pipeline_end_to_end(spark, sf_dir):
     from big_data_co2_emission_analysis_spark.operators.multimodal import (
         attach_audio_columns,
