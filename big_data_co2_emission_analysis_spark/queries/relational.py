@@ -785,6 +785,64 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Time-series gap-fill (hypertable-rollup shape): aggregate a sparse
+# event slice to hourly grain, then left-join it onto a generated hour
+# spine so empty hours surface as zero rows.  The spine derives from a
+# scalar min/max aggregate and sequence()+explode -- at 100 TB the big
+# side is reduced FIRST (partial+final hash agg), and the spine join
+# touches only the tiny post-agg result, so the fill step is O(hours).
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH f AS (
+      SELECT date_trunc('hour', ts) AS h, value FROM events
+      WHERE event_type = 'purchase' AND value > 250
+    ),
+    b AS (
+      SELECT h, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+      FROM f GROUP BY h
+    ),
+    s AS (
+      SELECT UNNEST(generate_series((SELECT MIN(h) FROM b),
+                                    (SELECT MAX(h) FROM b),
+                                    INTERVAL 1 HOUR)) AS h
+    )
+    SELECT STRFTIME(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(b.n, 0) AS n,
+           COALESCE(b.sum_value, 0.0) AS sum_value
+    FROM s LEFT JOIN b ON s.h = b.h
+    ORDER BY 1
+    """,
+    tags=("datetime", "agg", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+    spine = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization: gap > 30 min starts a new session (lag + cumulative
 # flag sum -- the batch shape; streaming uses session_window).
 # --------------------------------------------------------------------------

@@ -195,3 +195,86 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_revenue().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# -- Q21 shape: suppliers who kept orders waiting ---------------------------
+# TPC-H Q21's EXISTS / NOT EXISTS pattern adapted to the fixture schema
+# (no l_receiptdate/l_commitdate; "late" := shipped > 75 days after the
+# order date).  A waiting supplier is the ONLY late shipper in a
+# multi-supplier finished order.  The two correlated subqueries become a
+# left-semi and a left-anti self-join on the flagged fact -- both hash
+# on l_orderkey (the natural shuffle key), the supplier dim broadcasts,
+# so at 100 TB this is two co-partitioned shuffles plus a map-side dim
+# lookup, never an all-pairs comparison.
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM flagged l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM flagged l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("join", "semi", "anti", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 75)).alias("late"),
+        )
+    )
+    base = flagged.filter("late").select("l_orderkey", "l_suppkey")
+    other = flagged.select(
+        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
+    )
+    other_late = flagged.filter("late").select(
+        F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        base.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_okey"))
+            & (F.col("l_suppkey") != F.col("o_skey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("a_okey"))
+            & (F.col("l_suppkey") != F.col("a_skey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
