@@ -507,40 +507,71 @@ def supplier_positional_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Statistical aggregates: stddev/variance/correlation/covariance --
-# single-pass mergeable moments (partial+final hash agg), rounded to
-# 6 dp to absorb accumulation-algorithm ULP differences across engines.
+# Statistical aggregates: stddev/variance/correlation/covariance.
+# Each engine's native moment aggregate accumulates doubles in its own
+# order, so the pre-round values can differ by an ULP and a 6-dp round
+# AMPLIFIES a near-tie difference to 1e-6 (seen at sf0.001).  Instead
+# both sides aggregate exact DECIMAL sums (n, Sx, Sxx, Sy, Syy, Sxy --
+# single-pass, mergeable, partial+final hash agg, so still the scale
+# plan) and derive the moments with the identical double expression
+# tree; identical inputs + identical IEEE op order = bit-equal output.
 # --------------------------------------------------------------------------
+_MOMENT_SUMS_SQL = """
+      SELECT p_brand,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(p_size AS DECIMAL(9,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(p_size AS DECIMAL(9,0)) * CAST(p_size AS DECIMAL(9,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(p_size AS DECIMAL(9,0))) AS DOUBLE) AS sxy
+      FROM part GROUP BY p_brand
+"""
+
+
 @register(
     "brand_price_stats",
-    oracle="""
+    oracle=f"""
+    WITH s AS ({_MOMENT_SUMS_SQL})
     SELECT p_brand,
-           COUNT(*) AS n,
-           ROUND(STDDEV_SAMP(p_retailprice), 6) AS sd_price,
-           ROUND(VAR_SAMP(p_retailprice), 6) AS var_price,
-           ROUND(CORR(p_retailprice, p_size), 6) AS corr_price_size,
-           ROUND(COVAR_SAMP(p_retailprice, p_size), 6) AS covar_price_size,
-           ROUND(COVAR_POP(p_retailprice, p_size), 6) AS covar_pop_price_size
-    FROM part
-    GROUP BY p_brand
+           n,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS sd_price,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_price,
+           ROUND((sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_price_size,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_price_size,
+           ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop_price_size
+    FROM s
     ORDER BY p_brand
     """,
     tags=("agg", "stats"),
 )
 def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._exact import dec
+
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    return (
-        part.groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.stddev_samp("p_retailprice"), 6).alias("sd_price"),
-            F.round(F.var_samp("p_retailprice"), 6).alias("var_price"),
-            F.round(F.corr("p_retailprice", "p_size"), 6).alias("corr_price_size"),
-            F.round(F.covar_samp("p_retailprice", "p_size"), 6).alias("covar_price_size"),
-            F.round(F.covar_pop("p_retailprice", "p_size"), 6).alias("covar_pop_price_size"),
-        )
-        .orderBy("p_brand")
+    px = dec("p_retailprice", 2, 18)
+    sz = dec("p_size", 0, 9)
+    sums = part.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(px).cast("double").alias("sx"),
+        F.sum(px * px).cast("double").alias("sxx"),
+        F.sum(sz).cast("double").alias("sy"),
+        F.sum(sz * sz).cast("double").alias("syy"),
+        F.sum(px * sz).cast("double").alias("sxy"),
     )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cov_n = sxy - sx * sy / n
+    return sums.select(
+        "p_brand",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("sd_price"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_price"),
+        F.round(
+            cov_n / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6
+        ).alias("corr_price_size"),
+        F.round(cov_n / (n - 1), 6).alias("covar_price_size"),
+        F.round(cov_n / n, 6).alias("covar_pop_price_size"),
+    ).orderBy("p_brand")
 
 
 # --------------------------------------------------------------------------

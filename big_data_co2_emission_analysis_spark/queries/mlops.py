@@ -14,6 +14,7 @@ from ..ml.clustering import assemble_features, cluster_summary, fit_kmeans
 from ..operators.dedup import minhash_near_dup_pairs, simhash64
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .co2_shaped import user_change_df
+from ..sources.readers import read_documents
 from .registry import register
 
 
@@ -55,7 +56,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents (jaccard distance
     <= 0.7 -- the fixture corpus is random word-salad, so only genuinely
     similar docs pair up; planted-duplicate tests pin the semantics)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hash_tables=8, max_jaccard_distance=0.7
     )
@@ -70,7 +71,7 @@ def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs exact ngram_jaccard_pairs is unit-tested."""
     from ..operators.dedup import minhash_banded_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return minhash_banded_pairs(docs, "doc_id", "text", min_jaccard=0.3)
 
 
@@ -78,7 +79,7 @@ def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (deterministic: xxhash64 seed fixed by
     Spark; pure map-side, no shuffle)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 

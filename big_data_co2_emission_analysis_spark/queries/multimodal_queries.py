@@ -10,11 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_media_columns, extract_features, sample_frames
+from ..sources.readers import read_documents
 from .registry import register
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return attach_media_columns(docs)
 
 
@@ -72,7 +73,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     input row fans out to ceil(n_frames/2) rows via mapInPandas."""
     from ..operators.multimodal import attach_video_columns, sample_video_frames
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     frames = sample_video_frames(attach_video_columns(docs), every=2)
     return frames.select(
         "doc_id",
@@ -89,6 +90,6 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration/RMS/zero-crossing/peak features via mapInPandas."""
     from ..operators.multimodal import attach_audio_columns, extract_audio_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     audio = attach_audio_columns(docs)
     return extract_audio_features(audio)

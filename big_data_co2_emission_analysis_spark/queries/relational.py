@@ -756,6 +756,36 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semi-structured VARIANT path (Spark 4): parse once into the binary
+# variant encoding, extract typed fields with variant_get.  Unlike
+# from_json this needs no up-front schema and keeps the full document
+# queryable -- the modern lake pattern for heterogeneous JSON at scale
+# (parse cost is paid once per row, extraction is a cheap binary walk).
+# --------------------------------------------------------------------------
+@register(
+    "events_variant_extract",
+    oracle=f"""
+    SELECT CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("json", "variant", "agg"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.parse_json("props")
+    return (
+        _t(spark, sf_dir, "events")
+        .select((F.try_variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch tumbling-window aggregation over the event stream table (the
 # streaming module runs the same logic incrementally with a watermark).
 # --------------------------------------------------------------------------

@@ -14,7 +14,12 @@ from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # min-parallelism guard: the small-SF fixture is one parquet row
+    # group, which would serialize all shingling/tokenizing onto a
+    # single core (see sources.readers.read_documents)
+    from ..sources.readers import read_documents
+
+    return read_documents(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

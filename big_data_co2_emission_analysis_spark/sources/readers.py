@@ -168,6 +168,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the documents table with a minimum-parallelism guard.
+
+    Parquet splits only at row-group boundaries; the small-SF fixture is
+    a single row group, so without intervention every CPU-heavy per-row
+    op downstream (shingling, MinHash, SimHash, mapInPandas decode)
+    runs as ONE task while the other 31 cores idle.  When the scan
+    yields fewer partitions than the cluster's default parallelism we
+    round-robin repartition -- the shuffle moves kilobytes here, and at
+    real scale (thousands of row groups >= cores) the guard is a no-op
+    so production plans never pay an extra exchange.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
