@@ -27,6 +27,7 @@ HEADLINE = [
     "priority_revenue",
     "q3_shipping_priority",
     "q10_returned_customers",
+    "q21_waiting_suppliers",
     "customer_order_counts",
     "top_orders",
     "top_customers_per_segment",

@@ -10,9 +10,10 @@ primary script's sign), the cluster-label Python UDF is a native
 expression, and the lineage is cached instead of re-executed per
 action.  The geo join itself (reference project-co2.py:137-147) runs
 IN SPARK against the engine's world dimension (co2/world_dim.py) with
-the reference's four ISO-code patches; only the matplotlib rendering
-tail is out of engine scope (SURVEY.md S7) -- the choropleth's exact
-input table (world_with_cluster) is printed instead.
+the reference's four ISO-code patches, and all five reference figures
+(S7: elbow, cluster scatter, three choropleths) are rendered to
+examples/figures/*.bmp by the engine's own rasterizer
+(sources/figures.py) -- no matplotlib/geopandas needed.
 """
 
 import sys
@@ -70,6 +71,48 @@ def main() -> None:
     n_matched = world.filter("change IS NOT NULL").count()
     print(f"-- world_with_cluster: {n_matched} matched, {177 - n_matched} grey (no data)")
     world.orderBy("iso_a3", "name").show(10, truncate=False)
+
+    # S7 figure sink: the reference's five matplotlib PNGs
+    # (project-co2.py:55,126,155,168,177), rendered by the engine's own
+    # pure-numpy rasterizer + BMP codec.  Inputs are the already-reduced
+    # results above -- tiny driver-side collects, as a figure sink must be.
+    import os
+
+    from big_data_co2_emission_analysis_spark.ml.clustering import elbow_sweep
+    from big_data_co2_emission_analysis_spark.sources.figures import (
+        fig_choropleth_dual,
+        fig_choropleth_tiles,
+        fig_elbow,
+        fig_scatter,
+    )
+
+    figdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "figures")
+    sweep = elbow_sweep(res.assigned, ks=range(2, 10), sample_fraction=None)
+    fig_elbow([p.k for p in sweep], [p.cost for p in sweep], f"{figdir}/bestK.bmp")
+
+    pts = res.assigned.select("change", "cluster").collect()
+    fig_scatter(
+        [r["change"] for r in pts],
+        [r["change"] for r in pts],  # the reference scatters x vs x (ref :125)
+        [r["cluster"] for r in pts],
+        f"{figdir}/clustering_values.bmp",
+    )
+
+    wrows = world.select("iso_a3", "change", "isReduced", "cluster").collect()
+    fig_choropleth_tiles(
+        [(r["iso_a3"], r["change"]) for r in wrows], f"{figdir}/co2_change.bmp"
+    )
+    fig_choropleth_tiles(
+        [(r["iso_a3"], r["cluster"]) for r in wrows],
+        f"{figdir}/co2_clusters.bmp",
+        categorical=True,
+    )
+    fig_choropleth_dual(
+        [(r["iso_a3"], r["change"], r["isReduced"]) for r in wrows],
+        f"{figdir}/co2_improvement.bmp",
+    )
+    print(f"-- figures written to {figdir}: bestK, clustering_values, "
+          "co2_change, co2_clusters, co2_improvement (.bmp)")
 
     spark.stop()
 
