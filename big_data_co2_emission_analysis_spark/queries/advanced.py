@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import as_of_join
 from ..sources.readers import read_events
-from ._exact import dsum, sql_dsum
+from ._exact import dsum, spark_sql_fx, sql_dsum, sql_fx
 from .registry import register
 
 
@@ -86,21 +86,32 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # GROUPING SETS through the SQL API (same Catalyst plan as the
-# DataFrame rollup/cube; exposes the engine's SQL surface).
+# DataFrame rollup/cube; exposes the engine's SQL surface).  The
+# fixed-point quantizer spells differently per dialect (Spark's TRUNC
+# is date-only), so the shared template takes the dsum rendering.
 # --------------------------------------------------------------------------
-_GROUPING_SETS_SQL = f"""
+def _grouping_sets_sql(dsum_sql: str) -> str:
+    return f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
+           {dsum_sql} AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 """
 
 
-@register("grouping_sets_qty", oracle=_GROUPING_SETS_SQL, tags=("agg", "sql"))
+@register(
+    "grouping_sets_qty",
+    oracle=_grouping_sets_sql(sql_dsum("l_quantity")),
+    tags=("agg", "sql"),
+)
 def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
-    return spark.sql(_GROUPING_SETS_SQL)
+    return spark.sql(
+        _grouping_sets_sql(
+            f"CAST(SUM({spark_sql_fx('l_quantity')}) AS DOUBLE) / 1e6"
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -611,16 +622,16 @@ def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RANGE-frame window: trailing-30-day revenue per order priority.  RANGE
 # frames include all peer rows at equal order keys, so the result is
 # deterministic under date ties (a ROWS frame would not be); the sum
-# accumulates in decimal for order-independence (_exact.py).
+# accumulates in fixed-point for order-independence (_exact.py).
 # --------------------------------------------------------------------------
 @register(
     "trailing_priority_revenue",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_orderpriority, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM({sql_fx('o_totalprice', 2)}) OVER (
              PARTITION BY o_orderpriority ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS trailing_30d_revenue
+           ) AS DOUBLE) / 1e2 AS trailing_30d_revenue
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -630,12 +641,12 @@ def trailing_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     orders.createOrReplaceTempView("orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_orderpriority, o_orderdate,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               CAST(SUM({spark_sql_fx('o_totalprice', 2)}) OVER (
                  PARTITION BY o_orderpriority ORDER BY o_orderdate
                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS trailing_30d_revenue
+               ) AS DOUBLE) / 1e2 AS trailing_30d_revenue
         FROM orders
         ORDER BY o_orderkey
         """
@@ -714,9 +725,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, num_buckets: int = 
 
 @register(
     "bucketed_priority_revenue",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
            COUNT(*) AS n_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -729,17 +740,15 @@ def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey join itself is exchange-free (both sides pre-hashed and
     pre-sorted into the same 16 buckets); only the tiny 5-row priority
     aggregate shuffles."""
-    from ._exact import dec
-
     ot, lt = ensure_bucketed_tables(spark, sf_dir)
     orders = spark.table(ot)
     li = spark.table(lt)
-    revenue = dec("l_extendedprice", 2, 12) * dec(1 - F.col("l_discount"), 4, 6)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            dsum(revenue).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("o_orderpriority")

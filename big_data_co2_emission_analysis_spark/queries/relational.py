@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_events
-from ._exact import davg, dec, dsum, sql_davg, sql_dsum
+from ._exact import davg, dsum, fx, sql_davg, sql_dsum, sql_fx, unfx
 from .registry import register
 
 
@@ -40,8 +40,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount', scale=4)} AS avg_disc,
@@ -55,22 +55,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice", 2, 12) * dec(1 - F.col("l_discount"), 4, 6)
-    # multiply the two small factors first: DuckDB caps decimal products
-    # at precision 18, so (price * factor) * factor would round there
-    charge = dec("l_extendedprice", 2, 12) * (
-        dec(1 - F.col("l_discount"), 4, 6) * dec(1 + F.col("l_tax"), 4, 6)
-    )
+    # the products have <= 6 true decimal digits (2+2+2), so the
+    # scale-6 fixed-point quantization is lossless; both engines build
+    # the identical double product before quantizing (_exact.py)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") < "2000-01-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            # pre-round to scale 6: a scale-10 sum's unscaled int exceeds
-            # 2^53, where int128->double casts diverge across engines
-            F.sum(charge).cast("decimal(28,6)").cast("double").alias("sum_charge"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount", scale=4).alias("avg_disc"),
@@ -189,11 +186,11 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "priority_revenue",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
            COUNT(DISTINCT o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
@@ -204,14 +201,14 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = dec("l_extendedprice", 2, 12) * dec(1 - F.col("l_discount"), 4, 6)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            dsum(revenue).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -358,16 +355,16 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Running (cumulative) sum with a fully deterministic frame order; the
-# decimal accumulator keeps per-row prefix sums bit-stable.
+# fixed-point accumulator keeps per-row prefix sums bit-stable.
 # --------------------------------------------------------------------------
 @register(
     "running_supplier_qty",
-    oracle="""
+    oracle=f"""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           CAST(SUM({sql_fx('l_quantity', 2)}) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2 AS running_qty
     FROM lineitem
     """,
     tags=("window",),
@@ -385,7 +382,7 @@ def running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+        unfx(F.sum(fx("l_quantity", 2)).over(w), 2).alias("running_qty"),
     )
 
 

@@ -1,8 +1,8 @@
 """Canonical TPC-H query shapes (Q3/Q10/Q18) adapted to the fixture
 schema -- the multi-join analytical patterns a reference user would
 port: shipping-priority top-k (Q3), returned-item customer ranking
-(Q10), large-volume-order semi-aggregation (Q18).  All decimal-exact
-(_exact.py) and DuckDB-oracle-checked.
+(Q10), large-volume-order semi-aggregation (Q18).  All fixed-point
+exact (_exact.py) and DuckDB-oracle-checked.
 
 Scale notes: each query's fact-side join keys are the natural shuffle
 keys; dims broadcast (nation) or AQE-convert (customer at small SF);
@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._exact import dec
+from ._exact import dsum, fx, sql_dsum, sql_fx
 from .registry import register
 
 
@@ -22,11 +22,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_REVENUE_SQL = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE)"
+# extendedprice*(1-discount) has <= 4 true decimal digits, so scale-6
+# fixed-point quantization of the (identical cross-engine) double
+# product is lossless (_exact.py)
+_REVENUE_SQL = sql_dsum("l_extendedprice * (1 - l_discount)")
 
 
 def _revenue() -> F.Column:
-    return F.sum(dec("l_extendedprice", 2, 12) * dec(1 - F.col("l_discount"), 4, 6)).cast("double")
+    return dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
 
 
 # -- Q3: shipping priority -------------------------------------------------
@@ -104,16 +107,16 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Q18: large-volume orders ----------------------------------------------
 @register(
     "q18_large_orders",
-    oracle="""
+    oracle=f"""
     WITH big AS (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 400
+      HAVING SUM({sql_fx('l_quantity', 2)}) > 40000
     )
     SELECT c.c_custkey, o.o_orderkey,
            STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           {sql_dsum('l.l_quantity', scale=2)} AS total_qty
     FROM orders o
     JOIN big ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -126,9 +129,11 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
+        # compare in micro-units (long > 40000) so the predicate stays
+        # integer-exact on both engines
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("__q"))
-        .filter(F.col("__q") > 400)
+        .agg(F.sum(fx("l_quantity", 2)).alias("__q"))
+        .filter(F.col("__q") > 40000)
         .select("l_orderkey")
     )
     orders = _t(spark, sf_dir, "orders")
@@ -138,7 +143,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"), F.col("o_orderkey") == F.col("lk"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(dsum("l_quantity", scale=2).alias("total_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
