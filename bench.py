@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_cold": {name: sec}, "sf": ...}.
 
 Each query is timed as plan-build + full execution into a noop sink
 (`df.write.format("noop")`), after a session warm-up action so JVM
@@ -9,6 +9,16 @@ startup isn't billed to the first query.  A noop write materializes
 every column of every row, so map-only queries (simhash, doc_stats,
 embedding_norms) can't be pruned down to a bare row count the way
 `df.count()` let Catalyst do.
+
+Each query runs TWICE: the first (cold) run includes Catalyst
+analysis, whole-stage-codegen compilation, and JVM JIT of the
+generated classes -- one-time costs that measured 2-5x the steady
+state (scd2: 14.9s cold vs 2.9s steady at sf0.1).  The headline
+metric is the warm run, the per-query steady state a resident engine
+delivers; cold numbers are reported alongside under "queries_cold".
+`spark.catalog.clearCache()` runs between the two so any
+operator-internal persist (e.g. the banded-LSH shingle base) is
+recomputed in the timed run -- warm means warm CODE, not warm data.
 """
 
 from __future__ import annotations
@@ -90,14 +100,23 @@ def main() -> None:
 
     qs = all_queries()
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name].fn
+    cold_times: dict[str, float] = {}
+
+    def run(name: str) -> float:
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = qs[name].fn(spark, sf_dir)
         # noop sink: full materialization of all columns, nothing written
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        return round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        cold_times[name] = run(name)
+        # drop operator-internal persisted data so the warm run redoes
+        # ALL data work and only reuses compiled code
+        spark.catalog.clearCache()
+        times[name] = run(name)
+        spark.catalog.clearCache()
+        print(f"# {name}: warm={times[name]:.3f}s cold={cold_times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -107,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold_times,
                 "sf": float(sf),
             }
         )

@@ -378,7 +378,11 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(_SCD2_CUTOFF).cast(orders.schema["o_orderdate"].dataType)
     initial = orders.filter(F.col("o_orderdate") < cutoff)
     updates = orders.filter(F.col("o_orderdate") >= cutoff)
-    dim = scd2_build(initial, ["o_custkey"], "o_orderdate", order_cols=["o_orderkey"])
+    # persist the built dimension: scd2_apply branches it six ways
+    # (closed/open/late-key splits), and without a materialization each
+    # branch re-runs the build window -- 2x measured at sf0.1.  In
+    # production the dim IS a stored table, so this mirrors reality.
+    dim = scd2_build(initial, ["o_custkey"], "o_orderdate", order_cols=["o_orderkey"]).persist()
     merged = scd2_apply(dim, updates, ["o_custkey"], "o_orderdate", order_cols=["o_orderkey"])
     return merged.select(
         "o_custkey",
