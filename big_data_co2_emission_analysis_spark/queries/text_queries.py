@@ -212,6 +212,96 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: the standard tail
+# of large-scale dedup (pairs -> components -> one survivor each).  The
+# Spark side is iterative min-label propagation on the EDGE list
+# (operators/dedup.py connected_components: join + groupBy per round,
+# driver steers on a 1-row convergence count, data never collects);
+# the oracle replays it as a DuckDB recursive CTE to a fixpoint.
+# --------------------------------------------------------------------------
+_JACCARD_PAIRS_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, LIST_DISTINCT(
+        LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+                       i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, LEN(shingles) AS n, UNNEST(shingles) AS shingle
+      FROM sh WHERE LEN(shingles) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    )
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}
+    SELECT id AS doc_id, MIN(comp) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    comps = connected_components(_jaccard_pairs(spark, sf_dir))
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
+@register(
+    "near_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    losers AS (
+      SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "dedup", "iterative"),
+)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor (min doc_id) per near-dup component plus every
+    unpaired doc: the full dedup tail, corpus anti-join included."""
+    from ..operators.dedup import dedup_by_components
+
+    docs = _docs(spark, sf_dir)
+    kept = dedup_by_components(docs, _jaccard_pairs(spark, sf_dir), "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Token frequency: explode + count (the word-count shape; at scale a
 # two-level partial aggregation that Catalyst plans automatically).
 # --------------------------------------------------------------------------
