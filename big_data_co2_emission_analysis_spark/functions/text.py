@@ -106,6 +106,54 @@ def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
     return F.aggregate(shingle_hashes, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h))
 
 
+def ngram_list(col: Column | str, n: int = 3) -> Column:
+    """NON-distinct word n-gram list (vs operators.dedup.word_shingles'
+    set): position i -> tokens[i..i+n-1] joined by spaces.  Keeping
+    duplicates is the point -- the repeated-n-gram ratio needs them."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would count DOWN; CaseWhen evaluates the
+    # sequence only on rows where k > 0
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_ngram_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated n-grams: 1 - distinct/total.  The
+    standard repetition-loop quality signal for LLM training corpora
+    (degenerate generations and boilerplate score high).  Null for
+    texts shorter than n tokens."""
+    grams = ngram_list(col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1 - F.size(F.array_distinct(grams)) / total, 6),
+    )
+
+
+def token_chunks(col: Column | str, chunk_size: int, stride: int) -> Column:
+    """Token-window chunking: array of (chunk_start, chunk_text,
+    n_tokens) structs covering the doc with windows of ``chunk_size``
+    tokens every ``stride`` tokens (stride < chunk_size = overlap).
+    The context-window segmentation step of an LLM data pipeline,
+    as a single codegen'd expression -- explode the result to get one
+    row per chunk."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)),
+        lambda p: F.struct(
+            p.cast("long").alias("chunk_start"),
+            F.concat_ws(" ", F.slice(toks, p, chunk_size)).alias("chunk_text"),
+            F.size(F.slice(toks, p, chunk_size)).cast("long").alias("n_tokens"),
+        ),
+    )
+
+
 def bpe_ish_token_count_udf():
     """Arrow-batched Pandas UDF variant of :func:`bpe_ish_token_count`
     -- the demo of the sanctioned Python extension point (SURVEY.md

@@ -302,6 +302,161 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-window chunking: the context-window segmentation step of an
+# LLM data pipeline (chunk_size-token windows every stride tokens,
+# overlapping).  One codegen'd transform + explode; at 100 TB this is
+# a pure map stage, no shuffle.
+# --------------------------------------------------------------------------
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+@register(
+    "doc_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           UNNEST(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE})) AS chunk_start,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE}),
+             i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + {_CHUNK_SIZE - 1}), ' '))) AS chunk_text,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE}),
+             i -> LEN(LIST_SLICE(t, i, i + {_CHUNK_SIZE - 1})))) AS n_tokens
+    FROM toks
+    ORDER BY doc_id, chunk_start
+    """,
+    tags=("text", "chunking"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_chunks
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(token_chunks("text", _CHUNK_SIZE, _CHUNK_STRIDE)).alias("c"),
+        )
+        .select("doc_id", "c.chunk_start", "c.chunk_text", "c.n_tokens")
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signal: fraction of duplicated 3-grams per doc
+# (degenerate generations and boilerplate score high).  Pure map.
+# --------------------------------------------------------------------------
+@register(
+    "repetition_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN LEN(t) >= 3 THEN
+               LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                              i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 2), ' '))
+             ELSE [] END AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           LEN(g) AS n_grams,
+           CASE WHEN LEN(g) > 0
+                THEN ROUND(1 - LEN(LIST_DISTINCT(g)) * 1.0 / LEN(g), 6) END AS dup_ratio
+    FROM grams
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ngram_list, repeated_ngram_ratio
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(ngram_list("text", 3)).cast("long").alias("n_grams"),
+            repeated_ngram_ratio("text", 3).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: corpus docs sharing any distinct
+# 5-gram with a probe (benchmark) set.  The decontamination step of a
+# training pipeline: explode distinct n-grams on both sides, inner
+# join on the gram (the probe side is tiny -> broadcast), aggregate
+# per corpus doc.  At 100 TB the probe side stays a broadcast table
+# and the corpus side is one map + one aggregation shuffle.
+# --------------------------------------------------------------------------
+_PROBE_MAX_ID = 50
+
+
+@register(
+    "contamination_check",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+               CASE WHEN LEN(t) >= 5 THEN
+                 LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
+                                i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 4), ' '))
+               ELSE [] END)) AS gram,
+             LEN(LIST_DISTINCT(
+               CASE WHEN LEN(t) >= 5 THEN
+                 LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
+                                i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 4), ' '))
+               ELSE [] END)) AS n_grams
+      FROM toks
+    ),
+    probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {_PROBE_MAX_ID})
+    SELECT g.doc_id,
+           COUNT(*) AS n_shared,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(g.n_grams), 6) AS contaminated_ratio
+    FROM grams g JOIN probe p ON g.gram = p.gram
+    WHERE g.doc_id >= {_PROBE_MAX_ID}
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("text", "contamination"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ngram_list
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(ngram_list("text", 5)).alias("__g"),
+    ).select(
+        "doc_id",
+        F.size("__g").cast("long").alias("n_grams"),
+        F.explode("__g").alias("gram"),
+    )
+    probe = (
+        grams.filter(F.col("doc_id") < _PROBE_MAX_ID).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= _PROBE_MAX_ID)
+        .join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.round(F.count("*") / F.first("n_grams"), 6).alias("contaminated_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Token frequency: explode + count (the word-count shape; at scale a
 # two-level partial aggregation that Catalyst plans automatically).
 # --------------------------------------------------------------------------
