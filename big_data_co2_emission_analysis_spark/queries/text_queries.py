@@ -344,6 +344,47 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The same chunking through a Python UDTF (Spark 4 table function) in
+# a SQL LATERAL join -- the row-to-many-rows Python surface, checked
+# against the SAME oracle as the native path so the two
+# implementations provably agree.  Python-process path: API coverage,
+# not the production plan (that's doc_chunks).
+# --------------------------------------------------------------------------
+@register(
+    "udtf_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           UNNEST(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE})) AS chunk_start,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE}),
+             i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + {_CHUNK_SIZE - 1}), ' '))) AS chunk_text,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE}),
+             i -> LEN(LIST_SLICE(t, i, i + {_CHUNK_SIZE - 1})))) AS n_tokens
+    FROM toks
+    ORDER BY doc_id, chunk_start
+    """,
+    tags=("text", "chunking", "udtf"),
+)
+def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_start, c.chunk_text, c.n_tokens
+        FROM documents d,
+             LATERAL chunk_tokens(d.text, {_CHUNK_SIZE}, {_CHUNK_STRIDE}) c
+        ORDER BY d.doc_id, c.chunk_start
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Repetition quality signal: fraction of duplicated 3-grams per doc
 # (degenerate generations and boilerplate score high).  Pure map.
 # --------------------------------------------------------------------------
