@@ -123,7 +123,10 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
     from big_data_co2_emission_analysis_spark.queries import all_queries
 
     for name, qd in all_queries().items():
-        if qd.oracle is None or "streaming" in qd.tags:
+        # "udtf"-tagged queries exist to cover the Python UDTF API
+        # surface itself (functions/udtfs.py) -- they are the documented
+        # slow path, oracle-checked against the native implementation.
+        if qd.oracle is None or "streaming" in qd.tags or "udtf" in qd.tags:
             continue
         plan = explain_formatted(qd.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
