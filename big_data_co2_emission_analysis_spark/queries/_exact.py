@@ -102,13 +102,16 @@ def davg(col: Column | str, scale: int = SCALE, precision: int = PRECISION) -> C
 
 
 def sql_dsum(expr: str, scale: int = SCALE, precision: int = PRECISION) -> str:
-    """DuckDB-side mirror of :func:`dsum`."""
-    return f"CAST(SUM({sql_fx(expr, scale)}) AS DOUBLE) / 1e{scale}"
+    """DuckDB-side mirror of :func:`dsum`.  Parenthesized so the result
+    composes safely inside larger expressions (``sql_dsum(a) /
+    sql_dsum(b)`` must not chain-divide by ``1e{scale}`` twice)."""
+    return f"(CAST(SUM({sql_fx(expr, scale)}) AS DOUBLE) / 1e{scale})"
 
 
 def sql_davg(expr: str, scale: int = SCALE, precision: int = PRECISION) -> str:
-    """DuckDB-side mirror of :func:`davg`."""
-    return f"CAST(SUM({sql_fx(expr, scale)}) AS DOUBLE) / 1e{scale} / COUNT({expr})"
+    """DuckDB-side mirror of :func:`davg` (parenthesized, same reason
+    as :func:`sql_dsum`)."""
+    return f"(CAST(SUM({sql_fx(expr, scale)}) AS DOUBLE) / 1e{scale} / COUNT({expr}))"
 
 
 # -- decimal fallback (ultra-scale headroom) --------------------------------

@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
         streaming_queries,
         text_queries,
         tpch_shapes,
+        tpch_suite,
         vector_queries,
     )
 
