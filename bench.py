@@ -38,6 +38,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q10_returned_customers",
     "q21_waiting_suppliers",
+    # widest shapes of the full 22-archetype TPC-H suite: 8-way join
+    # (q8), 5-way join + two-level agg (q9), left-join fan-out double
+    # groupBy (q13)
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "customer_order_counts",
     "top_orders",
     "top_customers_per_segment",

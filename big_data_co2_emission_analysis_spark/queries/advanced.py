@@ -757,3 +757,129 @@ def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (operators/fuzzy.py): plant deterministic
+# typos in part names (every 11th key gets a trailing char), then mine
+# them back as levenshtein<=2 pairs within first-token blocks.  Exact
+# duplicates (distance 0 -- ~31k pairs in this corpus) are excluded so
+# the result is precisely the typo pairs the operator exists to find.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH named AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 11 = 0 THEN p_name || 'x' ELSE p_name END AS p_name
+      FROM part
+    ), b AS (
+      SELECT p_partkey, p_name, LOWER(SPLIT_PART(p_name, ' ', 1)) AS blk
+      FROM named WHERE LOWER(SPLIT_PART(p_name, ' ', 1)) <> ''
+    )
+    SELECT a.p_partkey AS p_partkey_a, c.p_partkey AS p_partkey_b,
+           a.p_name AS p_name_a, c.p_name AS p_name_b,
+           LEVENSHTEIN(a.p_name, c.p_name) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, c.p_name) BETWEEN 1 AND 2
+    ORDER BY p_partkey_a, p_partkey_b
+    """,
+    tags=("fuzzy", "dedup", "join"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_match_pairs
+
+    named = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 11 == 0, F.concat(F.col("p_name"), F.lit("x"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+    )
+    return (
+        fuzzy_match_pairs(named, "p_partkey", "p_name", max_distance=2)
+        .filter(F.col("distance") >= 1)
+        .withColumn("distance", F.col("distance").cast("long"))
+        .orderBy("p_partkey_a", "p_partkey_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation (operators/diff.py): two deterministic
+# "loads" of orders (old drops keys %10==7; new drops %10==3 and
+# reprices every 5th key), diffed on the key.  Both engines compute the
+# same IEEE double multiply, so raw repriced values compare bit-exact.
+# --------------------------------------------------------------------------
+_DIFF_OLD_SQL = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 7"
+_DIFF_NEW_SQL = """SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END
+         AS o_totalprice
+     FROM orders WHERE o_orderkey % 10 <> 3"""
+
+
+def _diff_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 10 != 7).select("o_orderkey", "o_totalprice")
+    new = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return old, new
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH old AS ({_DIFF_OLD_SQL}), new AS ({_DIFF_NEW_SQL})
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                  THEN 'unchanged'
+                ELSE 'changed' END AS diff_status,
+           old.o_totalprice AS o_totalprice_old,
+           new.o_totalprice AS o_totalprice_new
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+    ORDER BY o_orderkey
+    """,
+    tags=("diff", "join"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return (
+        snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+        .filter(F.col("diff_status") != "unchanged")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "orders_snapshot_diff_summary",
+    oracle=f"""
+    WITH old AS ({_DIFF_OLD_SQL}), new AS ({_DIFF_NEW_SQL})
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                  THEN 'unchanged'
+                ELSE 'changed' END AS diff_status,
+           COUNT(*) AS n_rows
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    ORDER BY diff_status
+    """,
+    tags=("diff", "agg"),
+)
+def orders_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff_summary
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return snapshot_diff_summary(old, new, ["o_orderkey"], ["o_totalprice"])

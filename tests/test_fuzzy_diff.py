@@ -1,0 +1,108 @@
+"""Unit tests for operators/fuzzy.py (blocked entity resolution) and
+operators/diff.py (snapshot reconciliation)."""
+
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from big_data_co2_emission_analysis_spark.operators.fuzzy import (
+    fuzzy_block_stats,
+    fuzzy_match_pairs,
+)
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, ["id", "name"])
+
+
+def test_fuzzy_finds_typo_pairs(spark):
+    df = _names(
+        spark,
+        [
+            (1, "acme widgets"),
+            (2, "acme widgett"),  # distance 1 from id 1
+            (3, "acme wadgets"),  # distance 1 from id 1, 2 from id 2
+            (4, "acme rockets"),  # distance > 2 from all
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_match_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_fuzzy_blocking_bounds_recall(spark):
+    # distance 1, but different first token: blocked apart, never compared
+    df = _names(spark, [(1, "acme widgets"), (2, "acmee widgets")])
+    assert fuzzy_match_pairs(df, "id", "name", max_distance=2).count() == 0
+
+
+def test_fuzzy_ids_ordered_and_no_self_pairs(spark):
+    df = _names(spark, [(5, "x y"), (2, "x y"), (9, "x y")])
+    rows = fuzzy_match_pairs(df, "id", "name", max_distance=0).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(2, 5), (2, 9), (5, 9)]
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_fuzzy_max_block_size_drops_degenerate_block(spark):
+    # 30 identical rows in one block would expand 435 pairs; cap 10 drops
+    # the whole block while the small block still matches
+    rows = [(i, "boiler plate") for i in range(30)] + [
+        (100, "rare gem"),
+        (101, "rare gemm"),
+    ]
+    df = _names(spark, rows)
+    out = fuzzy_match_pairs(df, "id", "name", max_distance=2, max_block_size=10)
+    assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(100, 101)]
+    stats = {r["block"]: r["n_rows"] for r in fuzzy_block_stats(df, "name").collect()}
+    assert stats == {"boiler": 30, "rare": 2}
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_diff_classifies_all_statuses(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c"), (4, None)])
+    new = _snap(spark, [(2, "b"), (3, "C"), (4, None), (5, "e")])
+    got = {
+        r["k"]: (r["diff_status"], r["v_old"], r["v_new"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("removed", "a", None),
+        2: ("unchanged", "b", "b"),
+        3: ("changed", "c", "C"),
+        4: ("unchanged", None, None),  # NULL <=> NULL is unchanged
+        5: ("added", None, "e"),
+    }
+
+
+def test_diff_null_to_value_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "x")], "k int, v string")
+    [row] = snapshot_diff(old, new, ["k"]).collect()
+    assert row["diff_status"] == "changed"
+
+
+def test_diff_summary_counts(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _snap(spark, [(2, "b"), (3, "x"), (4, "d")])
+    got = {
+        r["diff_status"]: r["n_rows"]
+        for r in snapshot_diff_summary(old, new, ["k"]).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_diff_compound_key_and_default_compare_cols(spark):
+    old = spark.createDataFrame([(1, "x", 10, "m"), (2, "y", 20, "n")], ["a", "b", "v", "w"])
+    new = spark.createDataFrame([(1, "x", 10, "M"), (2, "y", 20, "n")], ["a", "b", "v", "w"])
+    got = {
+        (r["a"], r["b"]): r["diff_status"]
+        for r in snapshot_diff(old, new, ["a", "b"]).collect()
+    }
+    assert got == {(1, "x"): "changed", (2, "y"): "unchanged"}
