@@ -623,3 +623,77 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Concat-and-split sequence packing (operators/packing.py): the
+# GPT-style packing manifest over the documents corpus at a 512-token
+# budget.  The oracle replays the same global prefix sum with a window
+# cumsum + generate_series; the engine side is the distributed scan
+# (range partition -> P-row offset collect -> parallel per-partition
+# cumsum), so a hash match here proves the distributed formulation
+# equals the sequential one.
+# --------------------------------------------------------------------------
+_PACK_SPANS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS s
+      FROM t WHERE n > 0
+    ), e AS (SELECT doc_id, n, s, s + n AS fin FROM c),
+    x AS (
+      SELECT doc_id, s, fin,
+             UNNEST(generate_series(s // 512, (fin - 1) // 512)) AS seq_id
+      FROM e
+    ),
+    manifest AS (
+      SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             GREATEST(seq_id * 512 - s, 0) AS doc_offset,
+             LEAST(fin, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512)
+               AS tokens_in_seq,
+             GREATEST(s - seq_id * 512, 0) AS seq_offset
+      FROM x
+    )
+"""
+
+
+@register(
+    "packed_doc_manifest",
+    oracle=_PACK_SPANS_SQL
+    + """
+    SELECT * FROM manifest ORDER BY seq_id, doc_id
+    """,
+    tags=("packing", "text"),
+)
+def packed_doc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import concat_split_pack
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return concat_split_pack(docs, "doc_id", "n_tokens", budget=512).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+@register(
+    "packed_seq_stats",
+    oracle=_PACK_SPANS_SQL
+    + """
+    SELECT seq_id, COUNT(*) AS n_pieces, SUM(tokens_in_seq) AS n_tokens
+    FROM manifest GROUP BY seq_id ORDER BY seq_id
+    """,
+    tags=("packing", "text", "agg"),
+)
+def packed_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import concat_split_pack, pack_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_stats(concat_split_pack(docs, "doc_id", "n_tokens", budget=512))

@@ -1,0 +1,70 @@
+"""Unit tests for operators/packing.py (concat-and-split packing).
+
+The load-bearing property is partition invariance: the distributed
+prefix sum must produce the identical manifest no matter how the input
+is range-partitioned, or packed corpora are not reproducible across
+cluster sizes.
+"""
+
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.packing import (
+    concat_split_pack,
+    pack_stats,
+)
+
+ROWS = [(i, 7 + (i * 13) % 90) for i in range(200)]  # ids 0..199, 7..96 tokens
+BUDGET = 128
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, n_tokens long")
+
+
+def test_sequences_exactly_full_except_last(spark):
+    stats = pack_stats(concat_split_pack(_df(spark), "doc_id", "n_tokens", BUDGET)).collect()
+    total = sum(n for _, n in ROWS)
+    assert [r["n_tokens"] for r in stats[:-1]] == [BUDGET] * (len(stats) - 1)
+    assert stats[-1]["n_tokens"] == total - BUDGET * (len(stats) - 1)
+    assert [r["seq_id"] for r in stats] == list(range(len(stats)))
+
+
+def test_doc_pieces_reassemble(spark):
+    man = concat_split_pack(_df(spark), "doc_id", "n_tokens", BUDGET)
+    per_doc = {
+        r["doc_id"]: (r["tok"], r["pieces"])
+        for r in man.groupBy("doc_id")
+        .agg(F.sum("tokens_in_seq").alias("tok"), F.count(F.lit(1)).alias("pieces"))
+        .collect()
+    }
+    for doc_id, n in ROWS:
+        tok, pieces = per_doc[doc_id]
+        assert tok == n  # pieces sum back to the full document
+        assert pieces <= n // BUDGET + 2  # bounded expansion
+
+
+def test_partition_invariance(spark):
+    base = concat_split_pack(_df(spark), "doc_id", "n_tokens", BUDGET, num_partitions=1)
+    expect = sorted(map(tuple, base.collect()))
+    for p in (3, 7, 64):
+        got = sorted(
+            map(
+                tuple,
+                concat_split_pack(
+                    _df(spark), "doc_id", "n_tokens", BUDGET, num_partitions=p
+                ).collect(),
+            )
+        )
+        assert got == expect, f"manifest differs at {p} partitions"
+
+
+def test_zero_token_docs_dropped_and_offsets_consistent(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 60)], "doc_id long, n_tokens long"
+    )
+    man = concat_split_pack(df, "doc_id", "n_tokens", budget=128).collect()
+    assert {r["doc_id"] for r in man} == {1, 3}
+    by = {(r["doc_id"], r["seq_id"]): r for r in man}
+    # doc 3 starts at global offset 100: 28 tokens fill seq 0, 32 spill to seq 1
+    assert by[(3, 0)]["tokens_in_seq"] == 28 and by[(3, 0)]["seq_offset"] == 100
+    assert by[(3, 1)]["tokens_in_seq"] == 32 and by[(3, 1)]["doc_offset"] == 28
