@@ -192,3 +192,29 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load the fixture star schema from ``{sf_dir}/{name}.parquet``."""
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar peer of Parquet; same pushdown/pruning
+    machinery in Spark's DataSource V2 -- predicate pushdown, column
+    pruning, and vectorized reads all apply)."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_text: bool = False, line_sep: str | None = None
+) -> DataFrame:
+    """Plain-text source: one row per line (``value: string``), or one
+    row per FILE with ``whole_text`` -- the raw-corpus entry point when
+    documents arrive as flat files rather than parquet.  ``whole_text``
+    makes a file the unit of parallelism: fine for many small docs,
+    wrong for one giant file (that file becomes one task).
+
+    Note: ``wholetext``/``lineSep`` must go through the ``text()``
+    keywords -- Spark 4 ignores them as generic reader options."""
+    kwargs = {}
+    if whole_text:
+        kwargs["wholetext"] = True
+    if line_sep is not None:
+        kwargs["lineSep"] = line_sep
+    return spark.read.text(path, **kwargs)

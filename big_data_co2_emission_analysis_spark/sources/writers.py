@@ -125,3 +125,18 @@ def compact_parquet(
         "bytes": total_bytes,
         "rows": rows,
     }
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink -- same layout levers as :func:`write_parquet` (ORC
+    keeps stripe-level min/max indexes, so ``partition_by`` plus sorted
+    input gives the same pruning story as parquet row groups)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -122,3 +122,38 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     checksum_after = after.agg(F.sum(F.crc32(F.col("o_orderkey").cast("string")))).collect()[0][0]
     assert checksum_after == checksum_before
     assert not os.path.exists(out + ".compacting") and not os.path.exists(out + ".old")
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_orc
+    from big_data_co2_emission_analysis_spark.sources.writers import write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/part.parquet")
+    write_orc(src, str(tmp_path / "part_orc"), partition_by=["p_type"])
+    back = read_orc(spark, str(tmp_path / "part_orc"))
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    # partition pruning: the p_type filter must reach the file listing
+    plan = (
+        back.filter("p_type = 'ECONOMY'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "p_type" in plan
+    got = back.filter("p_type = 'ECONOMY'").count()
+    expect = src.filter("p_type = 'ECONOMY'").count()
+    assert got == expect
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(d), whole_text=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
