@@ -883,3 +883,84 @@ def orders_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _diff_snapshots(spark, sf_dir)
     return snapshot_diff_summary(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (operators/joins.py): semantically a plain equi-join
+# -- the oracle proves exactly that -- while the physical plan spreads
+# each key over num_salts reducers.  This is the explicit-salting tool
+# for the case AQE cannot fix (ONE key bigger than an executor).
+# --------------------------------------------------------------------------
+@register(
+    "salted_event_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum("e.value")} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def salted_event_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    events = read_events(spark, sf_dir).select("user_id", "value")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        salted_join(events, cust, on=["user_id"], num_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast as-of join (operators/joins.py): same semantics as
+# asof_click_before_purchase (same DuckDB ASOF oracle) but via the
+# collapse-right-to-sorted-series + broadcast formulation -- the big
+# left side never shuffles.  Oracle equality proves the two as-of
+# implementations agree.
+# --------------------------------------------------------------------------
+@register(
+    "asof_broadcast_click_before_purchase",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.value AS click_value,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "broadcast"),
+)
+def asof_broadcast_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import as_of_join_broadcast
+
+    events = read_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        as_of_join_broadcast(
+            purchases, clicks, ts_col="ts", by_cols=["user_id"], value_cols=["value"]
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("value_right").alias("click_value"),
+            F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+        .orderBy("event_id")
+    )

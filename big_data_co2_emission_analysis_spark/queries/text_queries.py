@@ -697,3 +697,29 @@ def packed_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
     return pack_stats(concat_split_pack(docs, "doc_id", "n_tokens", budget=512))
+
+
+# --------------------------------------------------------------------------
+# Custom Python data source (sources/pydatasource.py): corpus stats
+# over the synthetic_corpus source.  No DuckDB oracle (the source is a
+# Python generator, not a table) -- rows-only by design; determinism is
+# pinned by unit tests instead (content is a pure function of doc_id).
+# --------------------------------------------------------------------------
+@register("synthetic_corpus_stats", tags=("source", "pydatasource"))
+def synthetic_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_synthetic_corpus
+
+    register_synthetic_corpus(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
