@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _VOCAB = (
@@ -132,3 +133,46 @@ def register_synthetic_corpus(spark) -> None:
     vanilla driver session that didn't go through ``get_session``."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+# -- streaming variant ------------------------------------------------------
+
+
+class SyntheticEventStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based synthetic event stream: each microbatch advances a
+    monotone row counter by ``rows_per_batch``; rows are the same pure
+    function of their index every time, so ``readBetweenOffsets`` (the
+    recovery path Spark uses when replaying a batch from the offset log
+    after a crash) reproduces a batch bit-for-bit -- the property that
+    makes the source exactly-once-compatible downstream."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter([synth_doc(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_doc(i) for i in range(start["pos"], end["pos"])])
+
+
+class SyntheticEventStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventStreamReader(self.options)
+
+
+def register_synthetic_corpus_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventStreamDataSource)

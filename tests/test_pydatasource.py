@@ -64,3 +64,51 @@ def test_pushdown_end_to_end_filter_correct(corpus):
     assert got == [490, 491, 492, 493, 494]
     [row] = df.filter("doc_id = 123").collect()
     assert tuple(row) == synth_doc(123)
+
+
+def test_stream_source_consumes_all_rows_deterministically(spark, tmp_path):
+    import time
+
+    from big_data_co2_emission_analysis_spark.sources.pydatasource import (
+        register_synthetic_corpus_stream,
+    )
+
+    register_synthetic_corpus_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_corpus_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 100)
+        .load()
+    )
+    seen = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: seen.extend(map(tuple, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    t0 = time.time()
+    while len(seen) < 100 and time.time() - t0 < 120:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(seen) == [synth_doc(i) for i in range(100)]
+
+
+def test_stream_replay_reproduces_batch_bit_for_bit():
+    from big_data_co2_emission_analysis_spark.sources.pydatasource import (
+        SyntheticEventStreamReader,
+    )
+
+    r = SyntheticEventStreamReader({"rows_per_batch": "30", "max_rows": "90"})
+    start = r.initialOffset()
+    rows1, end = r.read(start)
+    live = list(rows1)
+    # crash recovery path: replaying [start, end) must reproduce the batch
+    assert list(r.readBetweenOffsets(start, end)) == live
+    assert end == {"pos": 30}
+    # stream is exhausted at max_rows
+    rows2, end2 = r.read({"pos": 60})
+    assert len(list(rows2)) == 30 and end2 == {"pos": 90}
+    rows3, end3 = r.read(end2)
+    assert list(rows3) == [] and end3 == {"pos": 90}
