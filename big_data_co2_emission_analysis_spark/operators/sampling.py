@@ -46,3 +46,25 @@ def train_test_split(
     test = df.filter(bucket < test_fraction)
     train = df.filter(bucket >= test_fraction)
     return train, test
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, key_col: str = "shuffle_key"
+) -> DataFrame:
+    """Deterministic per-epoch global reshuffle for training loops.
+
+    Each epoch needs a DIFFERENT but REPRODUCIBLE permutation of the
+    corpus; materializing explicit permutation tables at 100 TB is a
+    non-starter.  Instead the permutation is implicit: sort by
+    ``md5(epoch ':' id)`` -- a keyed hash that reorders completely
+    between epochs yet is a pure function of (epoch, id), so any
+    worker, retry, or resumed run sees the identical order.
+
+    The sort is Spark's scalable global sort (range-partition exchange
+    on the key + partition-local sort -- no single-reducer stage), and
+    downstream per-partition consumers inherit contiguous, disjoint,
+    reproducible slices of the permutation.  md5 rather than xxhash64
+    keeps the key portable across engines (exact cross-checkable).
+    """
+    key = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string")))
+    return df.withColumn(key_col, key).orderBy(key_col)

@@ -723,3 +723,27 @@ def synthetic_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch reshuffle (operators/sampling.py): the epoch-3 permutation of
+# the documents corpus, carried as an explicit portable sort key so the
+# oracle can verify the exact permutation (the driver compare is
+# order-insensitive, so the ORDER itself must be data).
+# --------------------------------------------------------------------------
+@register(
+    "epoch_shuffled_docs",
+    oracle="""
+    SELECT doc_id,
+           MD5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    """,
+    tags=("shuffle", "training"),
+)
+def epoch_shuffled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", epoch=3
+    ).select("doc_id", "shuffle_key")

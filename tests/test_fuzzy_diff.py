@@ -106,3 +106,15 @@ def test_diff_compound_key_and_default_compare_cols(spark):
         for r in snapshot_diff(old, new, ["a", "b"]).collect()
     }
     assert got == {(1, "x"): "changed", (2, "y"): "unchanged"}
+
+
+def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    e1a = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 1).collect()]
+    e1b = [r["doc_id"] for r in epoch_shuffle(df.repartition(7), "doc_id", 1).collect()]
+    e2 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 2).collect()]
+    assert e1a == e1b  # reproducible across partitionings
+    assert e1a != e2  # different permutation per epoch
+    assert sorted(e1a) == sorted(e2) == list(range(100))  # true permutations
