@@ -192,3 +192,67 @@ def test_bucketed_priority_revenue_join_is_exchange_free(spark, sf_dir):
     # join (the aggregate/sort), none below it feeding the join
     assert all(e > max(join_ids) for e in exchange_ids), (nodes, plan[:600])
     assert "SelectedBucketsCount" in plan  # scans really are bucketed
+
+
+def test_fuzzy_match_plan_is_blocked_not_cartesian(spark, sf_dir):
+    """The fuzzy self-join must key on the blocking token: a hash-
+    partitioned equi-join, never CartesianProduct / nested-loop over
+    the corpus (the id inequality and distance check ride as residual
+    filters)."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries import all_queries
+
+    plan = explain_formatted(all_queries()["fuzzy_part_name_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # JVM expression, not a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packing_plan_has_no_global_window(spark, sf_dir):
+    """The packing prefix sum must never plan a partition-less Window
+    (single-reducer global sort): the cumsum window partitions by the
+    range-partition id, and the only global ordering is the
+    RangePartitioning exchange."""
+    from big_data_co2_emission_analysis_spark.operators.packing import concat_split_pack
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "n_chars as n_tokens"
+    )
+    plan = explain_formatted(concat_split_pack(docs, "doc_id", "n_tokens", 512))
+    assert "rangepartitioning" in plan.lower()
+    import re
+
+    # every Window node must carry a partition spec (windowspecdefinition
+    # with a partitionBy argument -> "_pid#" appears in its spec)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, f"global (partition-less) window found: {spec}"
+
+
+def test_snapshot_diff_plan_single_join_no_extra_shuffle(spark, sf_dir):
+    """Snapshot diff = exactly one FullOuter join on the key; the
+    classification is a pure projection (no aggregate, no second
+    shuffle before the join output)."""
+    from big_data_co2_emission_analysis_spark.operators.diff import snapshot_diff
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = orders.select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+    plan = explain_formatted(snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"]))
+    assert plan.count("Join type: FullOuter") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_plan_is_range_partitioned_sort(spark, sf_dir):
+    """The epoch permutation is a scalable global sort: a
+    RangePartitioning exchange + local Sort, with no Window and no
+    single-partition coalesce."""
+    from big_data_co2_emission_analysis_spark.operators.sampling import epoch_shuffle
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = explain_formatted(epoch_shuffle(docs, "doc_id", 3))
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
