@@ -22,7 +22,7 @@ from ..streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from ._exact import sql_dsum
+from ._exact import dsum, sql_dsum
 from .registry import register
 
 
@@ -181,3 +181,34 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    static customer dim per microbatch, then a streaming aggregate
+    rolls up (segment, type).  Oracle = the identical batch join+agg,
+    proving the incremental computation converges to the batch answer."""
+    from ..streaming.windows import stream_static_enrich
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(stream, dim, on=["user_id"], how="inner")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.orderBy("c_mktsegment", "event_type")
