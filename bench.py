@@ -78,6 +78,8 @@ HEADLINE = [
     # vectors
     "knn_cosine_top10",
     "embedding_norms",
+    # flagship composition: quality gate -> fingerprint dedup -> packing
+    "curated_corpus_manifest",
 ]
 
 

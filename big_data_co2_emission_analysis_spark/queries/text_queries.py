@@ -747,3 +747,68 @@ def epoch_shuffled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(
         _docs(spark, sf_dir).select("doc_id"), "doc_id", epoch=3
     ).select("doc_id", "shuffle_key")
+
+
+# --------------------------------------------------------------------------
+# Flagship curation pipeline: the three pipeline stages COMPOSED --
+# native quality gate -> fingerprint dedup (deterministic survivor) ->
+# concat-and-split packing -- as ONE oracle-checked query.  Each stage
+# is individually verified elsewhere (text_quality, 
+# fingerprint_dedup_survivors, packed_doc_manifest); this entry proves
+# the composition: the oracle replays all three stages sequentially in
+# SQL, so a hash match certifies the whole curated-corpus manifest.
+# --------------------------------------------------------------------------
+@register(
+    "curated_corpus_manifest",
+    oracle=r"""
+    WITH stats AS (
+      SELECT doc_id, text,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    quality AS (SELECT * FROM stats WHERE n >= 20 AND n <= 2000),
+    dedup AS (
+      SELECT doc_id, n FROM (
+        SELECT doc_id, n,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS s
+      FROM dedup WHERE n > 0
+    ),
+    e AS (SELECT doc_id, n, s, s + n AS fin FROM c),
+    x AS (
+      SELECT doc_id, s, fin,
+             UNNEST(generate_series(s // 512, (fin - 1) // 512)) AS seq_id
+      FROM e
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           GREATEST(seq_id * 512 - s, 0) AS doc_offset,
+           LEAST(fin, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512)
+             AS tokens_in_seq,
+           GREATEST(s - seq_id * 512, 0) AS seq_offset
+    FROM x ORDER BY seq_id, doc_id
+    """,
+    tags=("packing", "dedup", "text", "pipeline"),
+)
+def curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint_dedup
+    from ..operators.packing import concat_split_pack
+
+    stats = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    quality = stats.filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000))
+    deduped = fingerprint_dedup(quality, "text", "doc_id").select(
+        "doc_id", "n_tokens"
+    )
+    return concat_split_pack(deduped, "doc_id", "n_tokens", budget=512).orderBy(
+        "seq_id", "doc_id"
+    )
