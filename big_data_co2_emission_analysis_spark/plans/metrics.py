@@ -74,3 +74,42 @@ def collect_metrics(df: DataFrame) -> dict:
     plan = df._jdf.queryExecution().executedPlan()
     _walk(plan, out)
     return out
+
+
+def observe_quality(
+    df: DataFrame, name: str = "quality", **metric_exprs
+) -> tuple[DataFrame, "ObservationHandle"]:
+    """In-flight data-quality metrics via ``df.observe``: the metric
+    expressions (any aggregate over the observed node's rows) are
+    computed DURING the job that consumes ``df`` -- zero extra jobs,
+    zero extra scans, unlike a separate ``df.agg(...).collect()`` which
+    re-executes lineage.  This is the production pattern for pipeline
+    health counters (null rates, row counts, value bounds) on a 100 TB
+    run where a second pass is unaffordable.
+
+    Returns ``(observed_df, handle)``; run any action on a descendant
+    of ``observed_df``, then read ``handle.get()``.
+
+    Example::
+
+        df2, h = observe_quality(df, rows=F.count(F.lit(1)),
+                                 null_keys=F.count_if(F.col("k").isNull()))
+        df2.write.format("noop").mode("overwrite").save()
+        h.get()  # {'rows': ..., 'null_keys': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[expr.alias(k) for k, expr in metric_exprs.items()])
+    return observed, ObservationHandle(obs)
+
+
+class ObservationHandle:
+    """Thin wrapper so callers don't import pyspark's Observation."""
+
+    def __init__(self, obs) -> None:
+        self._obs = obs
+
+    def get(self) -> dict:
+        """Blocks until the observed job finishes; returns the metrics."""
+        return dict(self._obs.get)

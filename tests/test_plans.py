@@ -256,3 +256,22 @@ def test_epoch_shuffle_plan_is_range_partitioned_sort(spark, sf_dir):
     plan = explain_formatted(epoch_shuffle(docs, "doc_id", 3))
     assert "rangepartitioning" in plan.lower()
     assert "Window" not in plan
+
+
+def test_observe_quality_metrics_piggyback_on_the_job(spark, sf_dir):
+    """df.observe computes aggregates inside the consuming job (no
+    second scan); values must match an explicit aggregation."""
+    from big_data_co2_emission_analysis_spark.plans.metrics import observe_quality
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    observed, handle = observe_quality(
+        li,
+        rows=F.count(F.lit(1)),
+        null_qty=F.count_if(F.col("l_quantity").isNull()),
+        max_price=F.max("l_extendedprice"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = handle.get()
+    assert got["rows"] == li.count()
+    assert got["null_qty"] == 0
+    assert got["max_price"] == li.agg(F.max("l_extendedprice")).first()[0]
