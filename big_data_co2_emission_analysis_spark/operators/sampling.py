@@ -68,3 +68,50 @@ def epoch_shuffle(
     """
     key = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string")))
     return df.withColumn(key_col, key).orderBy(key_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict,
+    total_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Resample a multi-domain corpus toward target mixture WEIGHTS --
+    the pretraining-mix primitive ("books 30%, web 60%, code 10%").
+
+    Converts weights to per-domain keep-fractions against the observed
+    domain counts: the binding domain is the one whose share must grow
+    the most relative to its supply; it is kept in full (fraction 1.0
+    -- upsampling/replication is out of scope) and every other domain
+    is downsampled so realized proportions match ``target_weights``.
+    ``total_rows`` caps the output by scaling all fractions down
+    further.  The count pass is one map-side-combined aggregate over
+    the domain column; the sample itself is ``sampleBy`` (per-row
+    Bernoulli, no shuffle, no sort -- scales to any corpus).
+
+    Sampling is per-row Bernoulli, so realized counts fluctuate
+    ~sqrt(n) around the target -- exact at corpus scale, noisy under a
+    few thousand rows.
+    """
+    weights = {k: float(w) for k, w in target_weights.items()}
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    weights = {k: w / norm for k, w in weights.items()}
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[domain_col] in weights
+    }
+    missing = [d for d in weights if d not in counts]
+    if missing:
+        raise ValueError(f"domains absent from corpus: {missing}")
+    # scale chosen so the tightest domain is kept in full
+    scale = min(counts[d] / weights[d] for d in weights if weights[d] > 0)
+    if total_rows is not None:
+        scale = min(scale, float(total_rows))
+    fractions = {
+        d: min(1.0, (weights[d] * scale) / counts[d]) for d in weights
+    }
+    return df.sampleBy(domain_col, fractions, seed)

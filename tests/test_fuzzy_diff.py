@@ -118,3 +118,37 @@ def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
     assert e1a == e1b  # reproducible across partitionings
     assert e1a != e2  # different permutation per epoch
     assert sorted(e1a) == sorted(e2) == list(range(100))  # true permutations
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(8000)]
+        + [(i + 10000, "books") for i in range(1000)]
+        + [(i + 20000, "code") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = mixture_sample(df, "domain", {"web": 0.6, "books": 0.3, "code": 0.1}, seed=7)
+    got = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("id").alias("n")).collect()
+    }
+    # books is the binding domain (needs 30% from 10% supply): kept whole
+    assert got["books"] > 900
+    total = sum(got.values())
+    assert abs(got["web"] / total - 0.6) < 0.05
+    assert abs(got["books"] / total - 0.3) < 0.05
+    assert abs(got["code"] / total - 0.1) < 0.05
+
+
+def test_mixture_sample_total_rows_cap(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5000)] + [(i + 9000, "b") for i in range(5000)],
+        "id long, domain string",
+    )
+    out = mixture_sample(df, "domain", {"a": 0.5, "b": 0.5}, total_rows=1000, seed=3)
+    n = out.count()
+    assert 800 < n < 1200  # Bernoulli noise around the cap
