@@ -964,3 +964,66 @@ def asof_broadcast_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>): the same logical plan as the classic
+# form -- Catalyst sees no difference -- registered to pin the surface.
+# The oracle is the classic-SQL equivalent.
+# --------------------------------------------------------------------------
+@register(
+    "pipe_syntax_flag_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "pipe"),
+)
+def pipe_syntax_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    qty_sum = f"CAST(SUM({spark_sql_fx('l_quantity')}) AS DOUBLE) / 1e6"
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_quantity > 45
+        |> AGGREGATE COUNT(*) AS n, {qty_sum} AS sum_qty GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 recursive CTE (WITH RECURSIVE): a month spine generated by
+# recursion, left-joined to order counts -- gap-fill without a
+# sequence() helper.  Both engines run the SAME recursive SQL shape.
+# --------------------------------------------------------------------------
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE m(ms, me) AS (
+      SELECT DATE_TRUNC('month', MIN(o_orderdate)),
+             DATE_TRUNC('month', MAX(o_orderdate))
+      FROM orders
+      UNION ALL
+      SELECT ms + INTERVAL '1' MONTH, me FROM m WHERE ms < me
+    )
+    SELECT {month_expr} AS month, COUNT(o.o_orderkey) AS n_orders
+    FROM m LEFT JOIN orders o ON DATE_TRUNC('month', o.o_orderdate) = m.ms
+    GROUP BY m.ms
+    ORDER BY m.ms
+"""
+
+
+@register(
+    "recursive_month_order_counts",
+    oracle=_RECURSIVE_MONTHS_SQL.replace(
+        "INTERVAL '1' MONTH", "INTERVAL 1 MONTH"
+    ).format(month_expr="STRFTIME(m.ms, '%Y-%m')"),
+    tags=("sql", "recursive"),
+)
+def recursive_month_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL.format(month_expr="DATE_FORMAT(m.ms, 'yyyy-MM')"))
