@@ -331,3 +331,68 @@ def stream_static_enrich(
     pattern for reference-data enrichment at 100 TB/day ingest: the
     fact stream never shuffles for the join."""
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running aggregate as
+    :func:`stateful_user_stats`, on Spark 4's
+    ``transformWithStateInPandas`` -- the successor stateful API:
+    typed state handles (ValueState/ListState/MapState) with per-state
+    TTL and timers, instead of one opaque GroupState tuple.
+
+    ENVIRONMENT GATE: the TWS python worker speaks protobuf to the JVM
+    state server; ``google.protobuf`` is not installed in this
+    container, so this operator raises at stream start here (tested
+    via importorskip).  ``stateful_user_stats`` (applyInPandasWithState)
+    is the env-independent equivalent and carries the oracle check.  Here a
+    single ValueState carries (n, sum, max_ts); a real state machine
+    composes several handles.  Same scale posture: one shuffle on the
+    key, incremental per-microbatch state-store updates."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("mx", LongType()),  # epoch micros (state-safe scalar)
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mx = self._state.get() if self._state.exists() else (0, 0.0, None)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+                batch_mx = int(pdf["ts_us"].max())
+                mx = batch_mx if mx is None else max(mx, batch_mx)
+            self._state.update((n, s, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_ts_us": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType="user_id long, n_events long, sum_value double, last_ts_us long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

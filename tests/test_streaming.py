@@ -232,3 +232,34 @@ def test_stream_scd2_merge_matches_batch_build(spark, tmp_path):
         (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
     )
     assert canon(spark.read.parquet(dim_path)) == canon(full)
+
+
+def test_tws_user_stats_matches_batch_if_protobuf_available(spark, sf_dir):
+    """transformWithStateInPandas parity with the batch GROUP BY.
+    The TWS worker requires google.protobuf (absent in this container)
+    -- skip rather than fail where the API cannot run."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.sources.readers import read_events
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        stateful_user_stats_tws,
+    )
+
+    result = run_to_completion(
+        stateful_user_stats_tws(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    ).orderBy("user_id")
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+    got = {r["user_id"]: r["n_events"] for r in result.collect()}
+    expect = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert got == expect
