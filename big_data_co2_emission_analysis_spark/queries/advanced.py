@@ -1027,3 +1027,24 @@ _RECURSIVE_MONTHS_SQL = """
 def recursive_month_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_MONTHS_SQL.format(month_expr="DATE_FORMAT(m.ms, 'yyyy-MM')"))
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture resampling (operators/sampling.py): realized per-source
+# counts after resampling the documents corpus toward a 50/30/20 mix.
+# Rows-only (seeded Bernoulli differs across engines); tests pin the
+# realized proportions.
+# --------------------------------------------------------------------------
+@register("mixture_sample_counts", oracle=None, tags=("sample", "mixture"))
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = dict(zip(sorted(sources), [0.5, 0.3, 0.2][: len(sources)]))
+    mixed = mixture_sample(docs, "source", weights, seed=42)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )

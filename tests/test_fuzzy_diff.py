@@ -152,3 +152,35 @@ def test_mixture_sample_total_rows_cap(spark):
     out = mixture_sample(df, "domain", {"a": 0.5, "b": 0.5}, total_rows=1000, seed=3)
     n = out.count()
     assert 800 < n < 1200  # Bernoulli noise around the cap
+
+
+def test_diff_reconstructs_new_snapshot(spark):
+    """Load-bearing diff property: applying the diff to the old
+    snapshot must reconstruct the new one exactly (added+changed rows
+    take v_new, removed rows drop, unchanged rows carry over)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        old_rows=st.dictionaries(
+            st.integers(0, 30), st.one_of(st.none(), st.integers(0, 5)), max_size=20
+        ),
+        new_rows=st.dictionaries(
+            st.integers(0, 30), st.one_of(st.none(), st.integers(0, 5)), max_size=20
+        ),
+    )
+    def check(old_rows, new_rows):
+        old = spark.createDataFrame(
+            [(k, v) for k, v in old_rows.items()] or [(None, None)], "k int, v int"
+        ).filter(F.col("k").isNotNull())
+        new = spark.createDataFrame(
+            [(k, v) for k, v in new_rows.items()] or [(None, None)], "k int, v int"
+        ).filter(F.col("k").isNotNull())
+        diff = snapshot_diff(old, new, ["k"]).collect()
+        rebuilt = {
+            r["k"]: r["v_new"] for r in diff if r["diff_status"] != "removed"
+        }
+        assert rebuilt == new_rows
+
+    check()
