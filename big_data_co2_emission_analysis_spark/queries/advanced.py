@@ -1048,3 +1048,39 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py): history
+# (orders before 1998) is folded to mergeable state, the 1998+ delta is
+# folded separately, and the two states MERGE -- no re-scan of history.
+# The oracle aggregates the whole table in one pass: a hash match
+# proves merge(partial(A), partial(B)) == partial(A ∪ B).
+# --------------------------------------------------------------------------
+@register(
+    "incremental_priority_rollup",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(o_totalprice) AS o_totalprice_count,
+           {sql_dsum("o_totalprice")} AS o_totalprice_sum,
+           MIN(o_totalprice) AS o_totalprice_min,
+           MAX(o_totalprice) AS o_totalprice_max,
+           {sql_dsum("o_totalprice")} / COUNT(o_totalprice) AS o_totalprice_avg
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "incremental"),
+)
+def incremental_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize, merge_partials, partial_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    history = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    delta = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    keys, measures = ["o_orderpriority"], ["o_totalprice"]
+    merged = merge_partials(
+        [partial_agg(history, keys, measures), partial_agg(delta, keys, measures)],
+        keys,
+    )
+    return finalize(merged, measures).orderBy("o_orderpriority")
