@@ -276,3 +276,24 @@ def test_audio_pipeline_end_to_end(spark, sf_dir):
     meta = {r["doc_id"]: r["media_meta"]["duration_ms"] for r in audio.collect()}
     got = {r["doc_id"]: r["duration_ms"] for r in rows}
     assert all(abs(meta[k] - got[k]) <= 1 for k in got)
+
+
+def test_arrow_feature_path_matches_pandas_path(spark, sf_dir):
+    """mapInArrow and mapInPandas feature extraction must agree
+    bit-for-bit (same decode, no conversion drift)."""
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+    from big_data_co2_emission_analysis_spark.queries.multimodal_queries import _media
+
+    media = _media(spark, sf_dir)
+    pandas_rows = {
+        r["doc_id"]: (r["features"], r["feat_norm"])
+        for r in extract_features(media, fake_decode=False).collect()
+    }
+    arrow_rows = {
+        r["doc_id"]: (r["features"], r["feat_norm"])
+        for r in extract_features_arrow(media, fake_decode=False).collect()
+    }
+    assert arrow_rows == pandas_rows and len(arrow_rows) > 0
