@@ -184,3 +184,43 @@ def test_diff_reconstructs_new_snapshot(spark):
         assert rebuilt == new_rows
 
     check()
+
+
+def test_fuzzy_matches_brute_force_reference(spark):
+    """Property: fuzzy_match_pairs equals the brute-force definition
+    (same-first-token pairs with levenshtein <= d) on random corpora."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = st.text(alphabet="abc", min_size=1, max_size=4)
+    name = st.tuples(words, words).map(lambda t: f"{t[0]} {t[1]}")
+
+    @settings(max_examples=10, deadline=None)
+    @given(names=st.lists(name, min_size=2, max_size=12, unique=True))
+    def check(names):
+        rows = list(enumerate(names))
+        expect = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if a.split()[0].lower() == b.split()[0].lower() and lev(a, b) <= 2
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_match_pairs(
+                _names(spark, rows), "id", "name", max_distance=2
+            ).collect()
+        }
+        assert got == expect
+
+    check()

@@ -68,3 +68,23 @@ def test_zero_token_docs_dropped_and_offsets_consistent(spark):
     # doc 3 starts at global offset 100: 28 tokens fill seq 0, 32 spill to seq 1
     assert by[(3, 0)]["tokens_in_seq"] == 28 and by[(3, 0)]["seq_offset"] == 100
     assert by[(3, 1)]["tokens_in_seq"] == 32 and by[(3, 1)]["doc_offset"] == 28
+
+
+def test_doc_much_longer_than_budget_spans_many_sequences(spark):
+    """A document 5x the budget must split into ceil(5.5) contiguous
+    pieces whose offsets tile the doc exactly."""
+    df = spark.createDataFrame(
+        [(1, 30), (2, 5 * BUDGET + 64), (3, 10)], "doc_id long, n_tokens long"
+    )
+    man = sorted(
+        (r["seq_id"], r["doc_offset"], r["tokens_in_seq"])
+        for r in concat_split_pack(df, "doc_id", "n_tokens", BUDGET).collect()
+        if r["doc_id"] == 2
+    )
+    assert len(man) == 6  # 30 tokens precede it; 5*B+64 tokens span 6 bins
+    # pieces tile the document contiguously
+    pos = 0
+    for _, doc_off, n in man:
+        assert doc_off == pos
+        pos += n
+    assert pos == 5 * BUDGET + 64
