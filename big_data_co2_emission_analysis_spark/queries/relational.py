@@ -894,12 +894,17 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     # full microsecond precision: cast('long') truncates to whole
     # seconds, and a sub-second-offset gap straddling the 1800 s
-    # boundary would then disagree with the oracle's exact
-    # INTERVAL comparison (and the session_window streaming parity)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # boundary would then disagree with the oracle's exact INTERVAL
+    # comparison (and the session_window streaming parity).  Native
+    # timestamp subtraction yields a DayTimeInterval -- exact micros,
+    # and works for both TIMESTAMP and TIMESTAMP_NTZ inputs (the
+    # fixture's micros encoding surfaces as NTZ; unix_micros rejects it)
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = events.select(
         "user_id",
-        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1)
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+        )
         .otherwise(0)
         .alias("new_session"),
     )

@@ -812,3 +812,108 @@ def curated_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_split_pack(deduped, "doc_id", "n_tokens", budget=512).orderBy(
         "seq_id", "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrub (functions/pii.py): detection flags + redaction over a
+# corpus with deterministic synthetic PII injected per doc_id, so every
+# pattern (email/ssn/card/ip/phone) and the chain ordering are actually
+# exercised.  Both engines build the IDENTICAL augmented text; the
+# patterns live in the Java-regex/RE2 intersection so the DuckDB oracle
+# runs them verbatim (functions/pii.py module docstring).
+# --------------------------------------------------------------------------
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pii import PII_PATTERNS  # noqa: F401  (doc pointer)
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call +1 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-123-4567' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+def _pii_redacted_oracle() -> str:
+    from ..functions.pii import sql_redact_pii
+
+    return f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id, MD5({sql_redact_pii("text")}) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """
+
+
+@register("pii_redacted_docs", oracle=_pii_redacted_oracle(), tags=("text", "pii", "pipeline"))
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrub: mask every PII span with its <TYPE> token.  Pure
+    codegen'd map (5 fused regexp_replace) -- scan-speed at 100 TB; the
+    md5 keeps the checked payload small while staying bit-sensitive to
+    every replacement."""
+    from ..functions.pii import redact_pii
+
+    return (
+        _pii_augmented(spark, sf_dir)
+        .select("doc_id", F.md5(redact_pii("text")).alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _pii_stats_oracle() -> str:
+    from ..functions.pii import PII_PATTERNS, sql_pii_flag
+
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {sql_pii_flag('text', name)} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+        for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {cols}
+    FROM aug
+    """
+
+
+@register("pii_stats", oracle=_pii_stats_oracle(), tags=("text", "pii"))
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type PII document counts on the raw (pre-redaction) text:
+    the audit table a scrub job emits next to its output."""
+    from ..functions.pii import pii_flags
+
+    aug = _pii_augmented(spark, sf_dir)
+    flags = pii_flags("text")
+    return aug.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(flag.cast("int")).cast("long").alias(f"n_{name}")
+            for name, flag in flags.items()
+        ],
+    )

@@ -160,6 +160,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # micros-encoded fixtures surface as TIMESTAMP_NTZ and pass through
+    # unchanged: consumers use type-agnostic timestamp arithmetic
+    # (interval comparison, not unix_micros -- which rejects NTZ), and
+    # naive timestamps round-trip to the driver exactly like DuckDB's
     return df
 
 

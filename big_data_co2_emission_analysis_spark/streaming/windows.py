@@ -22,16 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources.readers.read_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # encoding varies by fixture, see read_events_stream
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: nanos-encoded variant (ts surfaces as long under nanosAsLong)
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 _STAGED_DIRS: dict[str, str] = {}
@@ -58,13 +63,30 @@ def _stage_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture.  The nanos `ts` is
-    read as long (schema pins it) and rebuilt as a timestamp, exactly
-    like the batch reader."""
+    """File-source stream over the events fixture, normalizing the
+    timestamp encoding EXACTLY like the batch reader
+    (sources.readers.read_events): a readStream must pin its schema up
+    front, so probe the file's batch schema once to learn whether
+    ``ts`` is nanos (surfaces as long under ``nanosAsLong`` -> rebuild
+    micros timestamp) or plain micros (surfaces as TIMESTAMP_NTZ ->
+    pass through).  Assuming one encoding silently corrupts the other:
+    micros read as nanos divides every timestamp by 1000 and lands the
+    whole stream in January 1970."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_stage_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    if batch_ts == "bigint":
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(_stage_dir(sf_dir))
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_schema(
+        T.TimestampNTZType() if batch_ts == "timestamp_ntz" else T.TimestampType()
+    )
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir))
+    # watermarks/event-time require TIMESTAMP (withWatermark rejects
+    # NTZ); with the session timezone pinned UTC above the cast is an
+    # exact bijection, and downstream window boundaries come out
+    # identical to the nanos path's timestamp_micros rebuild
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
@@ -386,7 +408,9 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
 
     return (
         events.select(
-            "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+            # cast first: unix_micros rejects TIMESTAMP_NTZ, and with
+            # the session timezone pinned UTC the cast is exact
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
         )
         .groupBy("user_id")
         .transformWithStateInPandas(

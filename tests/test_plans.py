@@ -275,3 +275,17 @@ def test_observe_quality_metrics_piggyback_on_the_job(spark, sf_dir):
     assert got["rows"] == li.count()
     assert got["null_qty"] == 0
     assert got["max_price"] == li.agg(F.max("l_extendedprice")).first()[0]
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """The urgent-priority star join over the partitioned orders copy
+    must carry a dynamic-pruning subquery on the fact scan: the dim's
+    `urgent` filter can't prune statically, so Catalyst injects the
+    runtime partition filter (the 100 TB fact-scan saver)."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries.advanced import (
+        dpp_urgent_order_revenue,
+    )
+
+    plan = explain_formatted(dpp_urgent_order_revenue(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
