@@ -1119,6 +1119,12 @@ def ensure_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             spark.read.parquet(f"{sf_dir}/orders.parquet")
+            # cluster by the partition column first: without this every
+            # one of the 32 write tasks emits a file into every
+            # partition directory (160 small files); with it each
+            # partition is one file, and the DPP-pruned scan opens 2
+            # footers instead of 64
+            .repartition("o_orderpriority")
             .write.mode("overwrite")
             .partitionBy("o_orderpriority")
             .parquet(path)
@@ -1164,4 +1170,80 @@ def dpp_urgent_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), scale=2).alias("total_price"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality validation (operators/quality.py): named boolean rules
+# evaluated in one codegen'd projection; rows carry the names of the
+# rules they fail.  The `price_le_300k` rule is deliberately violated
+# by ~6% of the fixture so the quarantine path is actually exercised.
+# --------------------------------------------------------------------------
+def _order_dq_rules():
+    return {
+        "positive_price": F.col("o_totalprice") > 0,
+        "price_le_300k": F.col("o_totalprice") <= 300000,
+        "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "custkey_positive": F.col("o_custkey") > 0,
+    }
+
+
+_ORDER_DQ_SQL = {
+    "positive_price": "o_totalprice > 0",
+    "price_le_300k": "o_totalprice <= 300000",
+    "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+    "priority_format": "regexp_matches(o_orderpriority, '^[1-5]-')",
+    "custkey_positive": "o_custkey > 0",
+}
+
+
+@register(
+    "dq_rule_violation_counts",
+    oracle=f"""
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS rule, COUNT(*) FILTER (WHERE NOT ({cond})) AS n_violations FROM orders"
+          for name, cond in _ORDER_DQ_SQL.items()
+      )}
+    ) WHERE n_violations > 0 ORDER BY rule
+    """,
+    tags=("quality", "agg"),
+)
+def dq_rule_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts over orders: the audit summary a DQ
+    gate emits.  Single scan, single partial+final hash agg."""
+    from ..operators.quality import rule_violation_counts
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rule_violation_counts(orders, _order_dq_rules())
+
+
+@register(
+    "dq_quarantined_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           CONCAT_WS(',', {", ".join(
+               f"CASE WHEN NOT ({cond}) THEN '{name}' END"
+               for name, cond in _ORDER_DQ_SQL.items()
+           )}) AS failed
+    FROM orders
+    WHERE {" OR ".join(f"NOT ({cond})" for cond in _ORDER_DQ_SQL.values())}
+    ORDER BY o_orderkey
+    """,
+    tags=("quality",),
+)
+def dq_quarantined_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine side of validate(): each failing order with the
+    comma-joined names of the rules it violates (array order = rule
+    declaration order on both engines)."""
+    from ..operators.quality import FAILED_COL, validate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _good, bad = validate(orders, _order_dq_rules())
+    return (
+        bad.select(
+            "o_orderkey", F.array_join(F.col(FAILED_COL), ",").alias("failed")
+        )
+        .orderBy("o_orderkey")
     )
