@@ -103,6 +103,19 @@ SHOWCASE = [
         "(doc-term tf, term df); the df table broadcasts back for the "
         "idf join; per-doc top-3 is a window on the aggregated frame.",
     ),
+    (
+        "dpp_urgent_order_revenue",
+        "Dynamic partition pruning: the fact scan carries "
+        "dynamicpruningexpression(o_orderpriority IN subquery) -- the "
+        "dim's attribute filter prunes fact PARTITIONS at runtime, "
+        "before any fact bytes are read.",
+    ),
+    (
+        "pii_redacted_docs",
+        "PII scrub: all five regexp_replace passes fuse into ONE "
+        "projection inside the scan's WholeStageCodegen span -- a pure "
+        "map, zero exchanges, scan-speed at any corpus size.",
+    ),
 ]
 
 
