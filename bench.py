@@ -57,6 +57,7 @@ HEADLINE = [
     "running_supplier_qty",
     "brand_price_stats",
     "quartiles_per_flag",
+    "quartiles_per_flag_distributed",
     # joins beyond equi
     "asof_click_before_purchase",
     "world_geo_revenue",

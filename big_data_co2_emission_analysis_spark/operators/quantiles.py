@@ -1,0 +1,109 @@
+"""Distributed EXACT quantiles (interpolated, type-7 / SQL
+``percentile_cont`` semantics).
+
+Spark's built-in exact ``percentile`` is an ObjectHashAggregate: every
+group's values buffer into one in-memory array on ONE reducer and sort
+there -- at 100 TB a single hot group OOMs an executor, and even three
+200k-row groups serialize onto three cores.  ``percentile_approx`` is
+the sketch answer; this operator is the exact answer at scale, using
+the same distributed-scan shape as ``operators/packing.py``:
+
+1. range-repartition by (key, value): partition p holds a contiguous
+   slice of each key's sorted value sequence;
+2. per-(partition, key) counts -- a P*K-row aggregate collected to the
+   driver and exclusive-scanned into per-(partition, key) global rank
+   offsets (control plane scales with partitions * keys, not rows);
+3. partition-local ``row_number`` + the broadcast offset = exact global
+   rank of every row within its key -- no global window, no single
+   reducer;
+4. the target ranks floor/ceil((n-1)*q) per (key, q) are computed
+   driver-side from the same counts, broadcast, and matched by rank --
+   one filter + tiny aggregate instead of a per-group sort buffer.
+
+Designed for the FEW-HUGE-GROUPS regime (global quantiles, per-flag /
+per-tenant percentiles over billions of rows).  For MANY small groups
+the built-in ``percentile`` is already parallel across groups and
+cheaper -- documented tradeoff, both are exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``(key, q, value)`` with one row per key per requested quantile;
+    ``value`` is linearly interpolated between the two bracketing order
+    statistics, matching SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont`` / Spark ``percentile`` bit-for-bit in the common
+    ``lo + (pos - lo_rank) * (hi - lo)`` formulation.  NULL values are
+    ignored (SQL aggregate semantics)."""
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of range: {q}")
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    if num_partitions is not None:
+        base = base.repartitionByRange(num_partitions, "_k", "_v")
+    else:
+        base = base.repartitionByRange("_k", "_v")
+    base = base.withColumn("_pid", F.spark_partition_id())
+
+    # control plane: P*K rows to the driver (partitions x keys, not data)
+    counts = base.groupBy("_pid", "_k").agg(F.count("*").alias("_c")).collect()
+    per_key_total: dict = {}
+    for r in sorted(counts, key=lambda r: (str(r["_k"]), r["_pid"])):
+        per_key_total[r["_k"]] = per_key_total.get(r["_k"], 0) + r["_c"]
+    offsets, acc = [], {}
+    for r in sorted(counts, key=lambda r: (str(r["_k"]), r["_pid"])):
+        offsets.append((r["_pid"], r["_k"], acc.get(r["_k"], 0)))
+        acc[r["_k"]] = acc.get(r["_k"], 0) + r["_c"]
+
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, ["_pid", "_k", "_off"])
+    )
+
+    # exact global rank per key: partition-local window + offset.  The
+    # (pid, key) hash exchange spreads work over ALL reducers -- the
+    # point of the exercise; no group ever lands on one task whole.
+    w = Window.partitionBy("_pid", "_k").orderBy("_v")
+    ranked = base.join(off, ["_pid", "_k"]).select(
+        "_k", "_v", (F.col("_off") + F.row_number().over(w) - 1).alias("_rank")
+    )
+
+    # target ranks per (key, q), driver-computed from counts
+    targets = []
+    for k, n in per_key_total.items():
+        for q in qs:
+            pos = (n - 1) * q
+            lo = int(pos)
+            hi = min(lo + 1, n - 1)
+            targets.append((k, float(q), lo, hi, pos - lo))
+    tgt = F.broadcast(
+        spark.createDataFrame(targets, ["_k", "q", "_lo", "_hi", "_frac"])
+    )
+
+    hit = ranked.join(
+        tgt, (ranked["_k"] == tgt["_k"]) & ((ranked["_rank"] == tgt["_lo"]) | (ranked["_rank"] == tgt["_hi"]))
+    ).select(ranked["_k"], "q", "_lo", "_hi", "_frac", "_rank", "_v")
+    return (
+        hit.groupBy("_k", "q", "_frac")
+        .agg(
+            F.min(F.when(F.col("_rank") == F.col("_lo"), F.col("_v"))).alias("_vlo"),
+            F.min(F.when(F.col("_rank") == F.col("_hi"), F.col("_v"))).alias("_vhi"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "q",
+            (F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))).alias("value"),
+        )
+    )

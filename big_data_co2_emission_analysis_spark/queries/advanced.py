@@ -1247,3 +1247,38 @@ def dq_quarantined_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed exact quantiles (operators/quantiles.py): same oracle as
+# quartiles_per_flag, but computed with the distributed-scan ranking
+# instead of the single-reducer-per-group percentile buffer -- the
+# exact-quantile path that survives a hot group at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "quartiles_per_flag_distributed",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS median,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "distributed"),
+)
+def quartiles_per_flag_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    long = exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75])
+    return (
+        long.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min(F.when(F.col("q") == 0.25, F.col("value"))), 6).alias("q1"),
+            F.round(F.min(F.when(F.col("q") == 0.50, F.col("value"))), 6).alias("median"),
+            F.round(F.min(F.when(F.col("q") == 0.75, F.col("value"))), 6).alias("q3"),
+        )
+        .orderBy("l_returnflag")
+    )

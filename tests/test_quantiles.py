@@ -1,0 +1,62 @@
+"""Distributed exact quantiles (operators/quantiles.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.quantiles import exact_quantiles
+
+
+def _long_to_map(df):
+    return {(r[0], r["q"]): r["value"] for r in df.collect()}
+
+
+def test_matches_builtin_percentile(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = _long_to_map(
+        exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.0, 0.25, 0.5, 0.75, 1.0])
+    )
+    ref = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.75, 1.0))").alias("p")
+    )
+    for r in ref.collect():
+        for q, want in zip((0.0, 0.25, 0.5, 0.75, 1.0), r["p"]):
+            assert got[(r["l_returnflag"], q)] == pytest.approx(want, abs=1e-9)
+
+
+def test_partition_count_invariance(spark):
+    rows = [("a", float(v)) for v in range(101)] + [("b", float(v * 3)) for v in range(7)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = _long_to_map(exact_quantiles(df, "k", "v", [0.5], num_partitions=1))
+    b = _long_to_map(exact_quantiles(df, "k", "v", [0.5], num_partitions=13))
+    assert a == b
+    assert a[("a", 0.5)] == 50.0
+    assert a[("b", 0.5)] == 9.0
+
+
+def test_interpolation_between_order_stats(spark):
+    df = spark.createDataFrame([("k", 1.0), ("k", 2.0), ("k", 4.0), ("k", 8.0)], "k string, v double")
+    got = _long_to_map(exact_quantiles(df, "k", "v", [0.5, 0.75]))
+    # pos = 1.5 -> 2 + 0.5*(4-2) = 3 ; pos = 2.25 -> 4 + 0.25*(8-4) = 5
+    assert got[("k", 0.5)] == pytest.approx(3.0)
+    assert got[("k", 0.75)] == pytest.approx(5.0)
+
+
+def test_single_row_group_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("one", 7.0), ("two", None), ("two", 3.0)], "k string, v double"
+    )
+    got = _long_to_map(exact_quantiles(df, "k", "v", [0.0, 0.5, 1.0]))
+    assert got[("one", 0.5)] == 7.0
+    assert got[("two", 1.0)] == 3.0  # null ignored
+
+
+def test_no_single_reducer_window(spark, sf_dir):
+    """The plan must not contain a partition-less Window: the ranking
+    runs per (pid, key)."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = explain_formatted(exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.5]))
+    assert "SinglePartition" not in plan
