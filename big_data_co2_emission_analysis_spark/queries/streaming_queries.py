@@ -212,3 +212,26 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_completion(agg, output_mode="complete")
     return result.orderBy("c_mktsegment", "event_type")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.5+ dropDuplicatesWithinWatermark run to completion.
+    Over the bounded single-batch source the watermark never advances
+    mid-batch, so no state expires and the surviving key set equals
+    batch DISTINCT -- which pins the API deterministically; the
+    retry-horizon state-expiry semantics (the reason this API exists)
+    are documented in streaming/windows.py."""
+    from ..streaming.windows import streaming_dedup_within_watermark as op
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(op(stream, ["user_id", "event_type"]), output_mode="append")
+    return result.select("user_id", "event_type").orderBy("user_id", "event_type")

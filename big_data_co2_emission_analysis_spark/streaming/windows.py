@@ -173,6 +173,20 @@ def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark``: dedupes keys whose
+    EVENT TIMES fall within the watermark delay of each other, rather
+    than keeping every seen key in state until it ages out.  The right
+    tool when duplicates are retry artifacts (seconds apart) but the
+    same logical key legitimately recurs later: state per key expires
+    one watermark delay after its first arrival, so long-running
+    pipelines hold state proportional to the duplicate horizon, not to
+    key cardinality."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_user_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     """Custom stateful per-user aggregator via ``applyInPandasWithState``
     -- the sanctioned extension point when built-in windowed aggregation
