@@ -289,3 +289,36 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
 
     plan = explain_formatted(dpp_urgent_order_revenue(spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """Runtime filter insertion: with a selective filter on one side of
+    a shuffle join, Catalyst plants a bloom_filter_agg subquery on the
+    creation side and a might_contain probe filter on the application
+    side -- rows that can't join die before the exchange.  Thresholds
+    are lowered to fixture scale (production defaults: 10 MB creation /
+    10 GB application)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # force the shuffle-join regime the filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 350000"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plan = li.join(orders, li.l_orderkey == orders.o_orderkey)._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
