@@ -12,7 +12,7 @@ for the reference's sample call).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,3 +115,39 @@ def mixture_sample(
         d: min(1.0, (weights[d] * scale) / counts[d]) for d in weights
     }
     return df.sampleBy(domain_col, fractions, seed)
+
+
+def deterministic_group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen by a keyed
+    hash order -- the exact-count companion to the Bernoulli samplers
+    (whose realized counts fluctuate ~sqrt(n)).
+
+    The selection key is ``md5(seed:id)``: a pure function of the row's
+    identity, so the sample is reproducible across partitionings,
+    cluster sizes, and engines (no rand(), whose draws depend on row
+    order within partitions), and changing ``seed`` draws an
+    independent sample.  Within a group the k smallest hashes win --
+    i.e. a uniform k-subset under the random-oracle view of md5.
+
+    Scale shape: one hash-partition window per group (the same shuffle
+    any per-group top-k pays); rows beyond rank k are dropped
+    map-side... strictly: filtered right after the window rank, so
+    only the rank column is ever added.  Groups far larger than k
+    suffer no buffering beyond the window sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1282,3 +1282,35 @@ def quartiles_per_flag_distributed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic exact-k-per-group sampling (operators/sampling.py):
+# md5-keyed order makes the drawn subset a pure function of (seed, id)
+# -- reproducible across partitionings AND engines, so the oracle
+# replays the identical selection.
+# --------------------------------------------------------------------------
+@register(
+    "deterministic_lang_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR))
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    ORDER BY lang, doc_id
+    """,
+    tags=("sample", "deterministic"),
+)
+def deterministic_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        deterministic_group_sample(docs, "lang", "doc_id", k=5, seed=42)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -167,3 +167,31 @@ def test_scd2_replay_consistency(spark, changes, split):
         (r["k"], r["seq"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
     )
     assert canon(merged) == canon(full)
+
+
+def test_deterministic_group_sample_exact_k_and_stability(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import (
+        deterministic_group_sample,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(g, i) for g in ("a", "b") for i in range(50)] + [("tiny", 0)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    s1 = deterministic_group_sample(df, "g", "id", k=7, seed=9)
+    got = {r["g"]: set() for r in s1.collect()}
+    for r in s1.collect():
+        got[r["g"]].add(r["id"])
+    assert len(got["a"]) == 7 and len(got["b"]) == 7
+    assert got["tiny"] == {0}  # min(k, group size)
+    # partitioning-invariant: same subset under a different layout
+    s2 = deterministic_group_sample(df.repartition(13, "id"), "g", "id", k=7, seed=9)
+    got2 = {}
+    for r in s2.collect():
+        got2.setdefault(r["g"], set()).add(r["id"])
+    assert got2 == got
+    # seed-sensitive: a different seed draws a different subset
+    s3 = deterministic_group_sample(df, "g", "id", k=7, seed=10)
+    got3 = {}
+    for r in s3.collect():
+        got3.setdefault(r["g"], set()).add(r["id"])
+    assert got3 != got
