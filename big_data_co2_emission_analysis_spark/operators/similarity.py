@@ -16,6 +16,8 @@ boundary in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -259,3 +261,185 @@ def ivf_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side of the FAISS-style ANN
+# family (IVF covers the scan side).  Vectors compress to m sub-space
+# code indices (here m*log2(ks) bits, e.g. 8 bytes for 64-dim float32
+# -- a 32x memory cut); queries score candidates through per-query
+# lookup tables (asymmetric distance computation) without ever
+# touching a float vector, then an exact re-rank of the short-list
+# restores precision at the top.
+#
+# Division of labor, deliberately: codebook TRAINING runs driver-side
+# in numpy on a bounded sample (exactly how FAISS trains -- the
+# codebook is O(m*ks*dsub) floats, the sample bounded; at 100 TB the
+# build is a scheduled job, the sample still bounded); ENCODING and
+# SCANNING are distributed pandas_udfs (Arrow-batched numpy -- the
+# sanctioned Python path; argmin over ks centroids per sub-space is a
+# dense matrix op that native array expressions would unroll into
+# thousands of codegen terms).
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(vecs, m: int, ks: int, seed: int, iters: int = 15):
+    """Lloyd's k-means per sub-space on a driver-side sample.
+    Deterministic for a given (sample, seed).  Returns (m, ks, dsub)."""
+    import numpy as np
+
+    n, d = vecs.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = vecs[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=min(ks, n), replace=False)].copy()
+        if len(cents) < ks:  # degenerate tiny corpus: pad with jitter
+            pad = cents[rng.integers(0, len(cents), ks - len(cents))]
+            cents = np.vstack([cents, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+                else:  # re-seed empty cluster deterministically
+                    cents[c] = sub[rng.integers(0, n)]
+        books[j] = cents
+    return books
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    m: int = 8,
+    ks: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 1,
+    train_sample: int = 20000,
+) -> None:
+    """Build phase: L2-normalize, train per-sub-space codebooks on a
+    <=train_sample driver sample, encode every corpus vector to m code
+    indices with a distributed pandas_udf, and write
+
+    - ``{index_path}/codes``     (id, codes array<int>, nvec the
+      normalized vector -- kept for the exact re-rank; a production
+      index at 100 TB would join back to the corpus table instead of
+      duplicating vectors),
+    - ``{index_path}/codebooks`` (sub, cid, cvec).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    base = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.transform(
+            F.col(corpus_vec), lambda x: x.cast("double") / l2_norm(F.col(corpus_vec))
+        ).alias("nvec"),
+    )
+    sample = np.array(
+        [r["nvec"] for r in base.limit(train_sample).collect()], dtype=np.float64
+    )
+    books = _train_pq_codebooks(sample, m, ks, seed)
+    spark = corpus.sparkSession
+    bbooks = spark.sparkContext.broadcast(books)
+    dsub = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        bk = bbooks.value
+        V = np.stack(col.values)  # (n, d)
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - bk[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    base.select("id", "nvec", encode("nvec").alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/codes")
+    rows = [
+        (j, c, [float(x) for x in books[j, c]]) for j in range(m) for c in range(ks)
+    ]
+    spark.createDataFrame(rows, "sub int, cid int, cvec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+
+
+def pq_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Search phase: per-query ADC lookup tables (Q x m x ks inner
+    products, built driver-side -- the query batch is small by
+    contract), one pandas_udf scan over the CODES (never the vectors)
+    scoring all queries per batch, ADC top ``refine*k`` short-list per
+    query, exact cosine re-rank of the short-list against the stored
+    normalized vectors.  Returns (query_id, vec_id, cosine, rank)
+    with rank <= k -- the same shape as the other ANN paths."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["sub"] for r in books_rows)
+    ks = 1 + max(r["cid"] for r in books_rows)
+    dsub = len(books_rows[0]["cvec"])
+    books = np.empty((m, ks, dsub))
+    for r in books_rows:
+        books[r["sub"], r["cid"]] = r["cvec"]
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[query_id] for r in qrows]
+    Q = np.array([r[query_vec] for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[q, j, c] = <q_subj, codebook[j][c]>  -> ADC score = sum_j LUT
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), books)
+    blut = spark.sparkContext.broadcast(lut)
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        L = blut.value
+        C = np.stack(codes.values)  # (n, m)
+        cols = np.arange(m)
+        out = np.stack([L[q][cols, C].sum(1) for q in range(L.shape[0])], axis=1)
+        return pd.Series(list(out))
+
+    codes = spark.read.parquet(f"{index_path}/codes")
+    scored = codes.select(
+        "id", "nvec", F.posexplode(adc_scores("codes")).alias("qidx", "adc")
+    )
+    w = W.partitionBy("qidx").orderBy(F.desc("adc"), F.asc("id"))
+    short = scored.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= refine * k
+    )
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [(i, qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+            f"qidx int, {query_id} long, qn array<double>",
+        )
+    )
+    rerank = short.join(qmap, "qidx").select(
+        query_id,
+        F.col("id").alias("vec_id"),
+        dot(F.col("nvec"), F.col("qn")).alias("cosine"),
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

@@ -182,3 +182,33 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF ANN path vs exact, per query."""
     return _ann_recall(spark, sf_dir, ann_ivf_top10)
+
+
+@register("ann_pq_top10", oracle=None, tags=("vector", "similarity"))
+def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (build-once codes index, per-query ADC
+    lookup tables, exact re-rank of the short-list) for the same 5
+    queries as the other ANN paths.  Codes are 32x smaller than the
+    float vectors -- the memory side of the FAISS-style family; recall
+    vs exact is surfaced by ann_pq_recall and floor-asserted in
+    tests."""
+    import os
+
+    from ..operators.similarity import pq_build_index, pq_search
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_path = f"/root/repo/.cache/pq_index_{sf_name}"
+    if not os.path.exists(f"{index_path}/codebooks/_SUCCESS"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pq_build_index(emb.filter(F.col("vec_id") >= 5), index_path, m=8, ks=16)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return pq_search(spark, index_path, queries, k=10, refine=4)
+
+
+@register("ann_pq_recall", oracle=None, tags=("vector", "similarity", "metric"))
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ ANN path vs exact, per query."""
+    return _ann_recall(spark, sf_dir, ann_pq_top10)

@@ -152,3 +152,51 @@ def test_ann_recall_queries_self_validate(spark, sf_dir):
         assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
         avg = sum(r["recall_at_10"] for r in rows) / len(rows)
         assert avg >= floor, f"{fn.__name__} avg recall {avg}"
+
+
+def test_pq_recall_on_planted_clusters(planted, tmp_path):
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        pq_build_index,
+        pq_search,
+    )
+
+    corpus, queries = planted
+    path = str(tmp_path / "pq")
+    pq_build_index(corpus, path, m=4, ks=16)
+    exact = brute_ids(corpus, queries, 10)
+    approx = {}
+    res = pq_search(corpus.sparkSession, path, queries, k=10, refine=4).collect()
+    for r in res:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # re-ranked cosines are exact: every reported neighbor of query c
+    # sits in cluster c with near-1 cosine
+    clusters = {r["vec_id"]: r["cluster"] for r in corpus.collect()}
+    hits = [clusters[r["vec_id"]] == r["query_id"] for r in res]
+    assert sum(hits) / len(hits) >= 0.8
+
+
+def test_pq_search_never_refits_and_is_deterministic(planted, tmp_path):
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        pq_build_index,
+        pq_search,
+    )
+
+    corpus, queries = planted
+    path = str(tmp_path / "pq2")
+    pq_build_index(corpus, path, m=4, ks=16)
+    spark = corpus.sparkSession
+    a = [tuple(r) for r in pq_search(spark, path, queries, k=5).collect()]
+    b = [tuple(r) for r in pq_search(spark, path, queries, k=5).collect()]
+    assert a == b
+
+
+def test_pq_registry_recall_floor(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.queries.mlops import ann_pq_recall
+
+    rows = ann_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
+    avg = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert avg >= 0.3, f"pq avg recall {avg}"
