@@ -1314,3 +1314,60 @@ def deterministic_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL surface): per-nation top-2 suppliers
+# by account balance.  Catalyst plans the LATERAL as a decorrelated
+# join (no per-row re-execution); DuckDB runs the identical SQL shape.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2
+    ) s
+    ORDER BY n.n_name, s.s_acctbal DESC, s.s_name
+"""
+
+
+@register("lateral_top_suppliers", oracle=_LATERAL_SQL, tags=("join", "sql", "lateral"))
+def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# SQL PIVOT clause (the DataFrame .pivot() twin, exercising the SQL
+# parser path).  DuckDB's PIVOT dialect differs, so the oracle states
+# the same contract as conditional aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "sql_pivot_status_qty",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("pivot", "sql"),
+)
+def sql_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, coalesce(F, 0.0) AS F, coalesce(O, 0.0) AS O
+        FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        PIVOT (
+          CAST(SUM({spark_sql_fx('l_quantity')}) AS DOUBLE) / 1e6
+          FOR l_linestatus IN ('F', 'O')
+        )
+        ORDER BY l_returnflag
+        """
+    )
