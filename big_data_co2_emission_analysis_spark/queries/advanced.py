@@ -5,6 +5,7 @@ equi+range predicate joins.  All oracle-checked.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints in module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1370,4 +1371,41 @@ def sql_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ORDER BY l_returnflag
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-AGGREGATE Pandas UDF (Series -> scalar): the last cell of the
+# Python-UDF taxonomy (scalar pandas_udf, grouped-map applyInPandas,
+# UDTF, mapInPandas/mapInArrow, applyInPandasWithState are covered
+# elsewhere).  Weighted mean is the canonical example the built-ins
+# can't spell as one aggregate.  Arrow ships each group's columns once;
+# NOTE the scale contract: unlike native aggregates there is NO partial
+# aggregation -- the whole group's values cross to Python, so this is
+# for moderate group sizes; a 100 TB hot group belongs in native
+# sum(w*x)/sum(w) (the oracle's own formulation).
+# --------------------------------------------------------------------------
+@register(
+    "weighted_avg_price_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "udf"),
+)
+def weighted_avg_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"))
+        .orderBy("l_returnflag")
     )
