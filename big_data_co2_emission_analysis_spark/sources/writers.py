@@ -140,3 +140,41 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = "gzip",
+    escape: str | None = None,
+) -> None:
+    """CSV sink -- the write twin of the reference's CSV-centric input
+    surface (sources/readers.py read_csv; the reference itself never
+    writes).  For interchange/export only: CSV carries no schema, no
+    column statistics, and no predicate pushdown, so anything read back
+    for analytics belongs in parquet.  ``escape`` mirrors the
+    reference's ``escape="@"`` read option (SURVEY.md S2)."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    if escape:
+        writer = writer.option("escape", escape)
+    writer.csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (write twin of read_jsonl): one JSON object per
+    line, the interchange format of LLM-corpus tooling.  Nested
+    structs/arrays/maps serialize naturally -- the reason to prefer it
+    over CSV for document exports."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -157,3 +157,34 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
     whole = read_text(spark, str(d), whole_text=True)
     assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_csv_round_trip_with_escape(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_csv
+    from big_data_co2_emission_analysis_spark.sources.writers import write_csv
+
+    df = spark.createDataFrame(
+        [(1, 'plain'), (2, 'comma, inside'), (3, 'quote " and @at')],
+        "id int, txt string",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path, compression=None, escape="@")
+    back = read_csv(spark, path, header=True, infer_schema=True, escape="@")
+    assert sorted((r["id"], r["txt"]) for r in back.collect()) == sorted(
+        (r["id"], r["txt"]) for r in df.collect()
+    )
+
+
+def test_jsonl_round_trip_nested(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.sources.readers import read_jsonl
+    from big_data_co2_emission_analysis_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": [1, 2]}), (2, {"a": 5, "b": []})],
+        "id int, payload struct<a:int, b:array<int>>",
+    )
+    path = str(tmp_path / "jsonl_out")
+    write_jsonl(df, path, compression=None)
+    back = read_jsonl(spark, path)
+    got = sorted((r["id"], r["payload"]["a"], list(r["payload"]["b"])) for r in back.collect())
+    assert got == [(1, 1, [1, 2]), (2, 5, [])]
