@@ -2,14 +2,16 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (mapInPandas).
 
-The image path is REAL for BMP: this module carries a from-scratch
-24-bit uncompressed BMP codec (numpy + struct -- the format is a
-54-byte header plus bottom-up BGR rows padded to 4 bytes), the fixture
-adapter synthesizes genuine BMP payloads, and decode / feature-extract
-/ resize operate on actual pixel arrays.  Formats that need external
-libraries (PNG/JPEG -> PIL/opencv, absent in this environment) raise
-NotImplementedError loudly; ``fake=True`` keeps the old deterministic
-byte-stub for payloads that aren't images at all.
+The image path is REAL for BMP and PNG: this module carries a
+from-scratch 24-bit uncompressed BMP codec (numpy + struct) and a
+from-scratch PNG codec on stdlib zlib (8-bit gray/RGB/RGBA,
+non-interlaced, all five scanline filters), the fixture adapter
+synthesizes genuine payloads, and decode / feature-extract / resize
+operate on actual pixel arrays with magic-byte dispatch
+(:func:`decode_image`).  JPEG needs a DCT decoder (external
+libraries, absent in this environment) and raises NotImplementedError
+loudly; ``fake=True`` keeps the old deterministic byte-stub for
+payloads that aren't images at all.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` governs decode parallelism, and
@@ -67,6 +69,129 @@ def decode_bmp(data: bytes) -> np.ndarray:
     rows = np.frombuffer(data, dtype=np.uint8, count=row_len * h, offset=offset)
     px = rows.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
     return px[::-1] if bottom_up else px
+
+
+# --------------------------------------------------------------------------
+# PNG codec (from scratch on stdlib zlib -- no PIL).  Writes 8-bit RGB
+# with filter 0; reads 8-bit gray/RGB/RGBA, non-interlaced, all five
+# scanline filters (None/Sub/Up/Average/Paeth).  Covers what PNG
+# encoders actually emit for photos/screenshots; palette, 16-bit, and
+# Adam7 interlace raise loudly.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png expects (H, W, 3) RGB")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8 RGB.  8-bit depth, color types
+    0 (gray: replicated to RGB), 2 (RGB), 6 (RGBA: alpha dropped),
+    non-interlaced; all five scanline filters."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace} unsupported "
+            "(8-bit gray/RGB/RGBA non-interlaced only)"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the running left neighbor
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    cur[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the native codecs: BMP or PNG -> (H, W, 3)
+    uint8 RGB."""
+    b = bytes(data)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    raise NotImplementedError(
+        "unsupported image format (native codecs: BMP, PNG; JPEG needs a DCT "
+        "decoder -- out of scope without external libraries)"
+    )
 
 
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -224,23 +349,18 @@ def decode_image_batch(payloads, fake: bool = False):
     """Decode a batch of image payloads -> list of FEATURE_DIM feature
     vectors.
 
-    BMP payloads are decoded for real (module codec above) into pixel
-    arrays -> grid features.  Other formats need PIL/opencv (absent in
-    this environment) and raise loudly.  ``fake=True`` keeps the
-    deterministic byte-stub (rolling byte sums) for payloads that
-    aren't images at all.
+    BMP and PNG payloads are decoded for real (module codecs above)
+    into pixel arrays -> grid features.  JPEG needs a DCT decoder
+    (external libraries, absent here) and raises loudly.  ``fake=True``
+    keeps the deterministic byte-stub (rolling byte sums) for payloads
+    that aren't images at all.
     """
     out = []
     for p in payloads:
         b = bytes(p)
-        if not fake and b[:2] == b"BM":
-            out.append(bmp_features(decode_bmp(b)))
-            continue
         if not fake:
-            raise NotImplementedError(
-                "only BMP decode is implemented natively; PNG/JPEG need PIL/opencv "
-                "(not available in this environment) -- pass fake=True for the byte-stub"
-            )
+            out.append(bmp_features(decode_image(b)))
+            continue
         arr = np.frombuffer(b, dtype=np.uint8)
         if len(arr) == 0:
             out.append(np.zeros(FEATURE_DIM, dtype=np.float32))
@@ -286,12 +406,12 @@ def resize_images(
     df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
 ) -> DataFrame:
     """mapInPandas image resize: payload in, re-encoded payload +
-    updated metadata out.  BMP payloads are REALLY resized --
+    updated metadata out.  BMP and PNG payloads are REALLY resized --
     decode -> nearest-neighbor resample -> re-encode -- with the
-    module's own codec; the output is a valid BMP of exactly
-    (width, height).  ``fake=True`` keeps the old byte truncate/pad
-    stub for non-image payloads; non-BMP image formats raise loudly
-    (PIL/opencv absent).
+    module's own codecs; the output is a valid BMP of exactly
+    (width, height) (normalizing to one storage format is what a real
+    thumbnail stage does).  ``fake=True`` keeps the old byte
+    truncate/pad stub for non-image payloads; JPEG raises loudly.
     """
     target = width * height
 
@@ -301,12 +421,7 @@ def resize_images(
         def _resize_one(p) -> bytes:
             b = bytes(p)
             if not fake:
-                if b[:2] != b"BM":
-                    raise NotImplementedError(
-                        "only BMP resize is implemented natively; pass fake=True "
-                        "for the byte-stub"
-                    )
-                return encode_bmp(resize_nearest(decode_bmp(b), width, height))
+                return encode_bmp(resize_nearest(decode_image(b), width, height))
             return (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
 
         for pdf in batches:

@@ -297,3 +297,139 @@ def test_arrow_feature_path_matches_pandas_path(spark, sf_dir):
         for r in extract_features_arrow(media, fake_decode=False).collect()
     }
     assert arrow_rows == pandas_rows and len(arrow_rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (from-scratch, stdlib zlib)
+# ---------------------------------------------------------------------------
+
+
+def _filter_scanlines(px, ftype, nch):
+    """Forward-apply a PNG filter to build test payloads exercising the
+    decoder's unfilter paths (our encoder only emits filter 0)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        line = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 1:
+                line[i] = (cur[i] - a) % 256
+            elif ftype == 2:
+                line[i] = (cur[i] - b) % 256
+            elif ftype == 3:
+                line[i] = (cur[i] - (a + b) // 2) % 256
+            elif ftype == 4:
+                from big_data_co2_emission_analysis_spark.operators.multimodal import _paeth
+
+                line[i] = (cur[i] - _paeth(a, b, c)) % 256
+        out.append(ftype)
+        out.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def _make_png(px, ctype, ftype):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = _filter_scanlines(px.reshape(h, w, nch), ftype, nch)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip():
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_all_filters_decode():
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    for ftype in (1, 2, 3, 4):
+        got = decode_png(_make_png(px, ctype=2, ftype=ftype))
+        assert np.array_equal(got, px), f"filter {ftype}"
+
+
+def test_png_gray_and_rgba():
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (6, 8, 1), dtype=np.uint8)
+    got = decode_png(_make_png(gray, ctype=0, ftype=2))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+    got = decode_png(_make_png(rgba, ctype=6, ftype=4))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_decode_image_dispatches_on_magic_bytes():
+    import numpy as np
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+    assert np.array_equal(decode_image(encode_png(px)), px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_resize_handles_png_payloads(spark):
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.multimodal import (
+        decode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(px)))], "doc_id long, media_bytes binary")
+    out = resize_images(df, width=8, height=8).collect()[0]
+    resized = decode_bmp(bytes(out["media_bytes"]))
+    assert resized.shape == (8, 8, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    assert np.array_equal(resized, px[::2, ::2])
