@@ -2,14 +2,15 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (mapInPandas).
 
-The image path is REAL for BMP and PNG: this module carries a
-from-scratch 24-bit uncompressed BMP codec (numpy + struct) and a
-from-scratch PNG codec on stdlib zlib (8-bit gray/RGB/RGBA,
-non-interlaced, all five scanline filters), the fixture adapter
-synthesizes genuine payloads, and decode / feature-extract / resize
-operate on actual pixel arrays with magic-byte dispatch
-(:func:`decode_image`).  JPEG needs a DCT decoder (external
-libraries, absent in this environment) and raises NotImplementedError
+The image path is REAL for BMP, PNG, and baseline JPEG: this module
+carries a from-scratch 24-bit uncompressed BMP codec (numpy + struct),
+a from-scratch PNG codec on stdlib zlib (8-bit gray/RGB/RGBA,
+non-interlaced, all five scanline filters), and a from-scratch
+baseline JPEG codec (operators/jpeg.py: huffman entropy coding,
+DCT/IDCT, 4:4:4/4:2:2/4:2:0, grayscale, restart markers).  The fixture
+adapter synthesizes genuine payloads, and decode / feature-extract /
+resize operate on actual pixel arrays with magic-byte dispatch
+(:func:`decode_image`).  Progressive JPEG / arithmetic coding refuse
 loudly; ``fake=True`` keeps the old deterministic byte-stub for
 payloads that aren't images at all.
 
@@ -181,16 +182,19 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch to the native codecs: BMP or PNG -> (H, W, 3)
-    uint8 RGB."""
+    """Magic-byte dispatch to the native codecs: BMP, PNG, or baseline
+    JPEG (operators/jpeg.py) -> (H, W, 3) uint8 RGB."""
     b = bytes(data)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "unsupported image format (native codecs: BMP, PNG; JPEG needs a DCT "
-        "decoder -- out of scope without external libraries)"
+        "unsupported image format (native codecs: BMP, PNG, baseline JPEG)"
     )
 
 

@@ -413,7 +413,7 @@ def test_decode_image_dispatches_on_magic_bytes():
     assert np.array_equal(decode_image(encode_bmp(px)), px)
     assert np.array_equal(decode_image(encode_png(px)), px)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode_image(b"GIF89a not-a-supported-format")
 
 
 def test_resize_handles_png_payloads(spark):

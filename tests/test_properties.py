@@ -195,3 +195,32 @@ def test_deterministic_group_sample_exact_k_and_stability(spark):
     for r in s3.collect():
         got3.setdefault(r["g"], set()).add(r["id"])
     assert got3 != got
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_exact_quantiles_match_numpy_linear(spark, vals, q):
+    """exact_quantiles == numpy's 'linear' (type-7 / percentile_cont)
+    interpolation for every key, any data, any quantile."""
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(k, v) for k, v in vals], "k int, v double")
+    got = {
+        r["k"]: r["value"]
+        for r in exact_quantiles(df, "k", "v", [q], num_partitions=3).collect()
+    }
+    by_key = {}
+    for k, v in vals:
+        by_key.setdefault(k, []).append(v)
+    for k, xs in by_key.items():
+        want = float(np.quantile(np.array(xs), q, method="linear"))
+        assert got[k] == pytest.approx(want, rel=1e-12, abs=1e-9), (k, xs, q)
