@@ -6,6 +6,7 @@ carries a from-scratch 24-bit BMP codec)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string hints in module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,3 +94,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_documents(spark, sf_dir)
     audio = attach_audio_columns(docs)
     return extract_audio_features(audio)
+
+
+@register("multimodal_mixed_format_features", oracle=None, tags=("multimodal",))
+def multimodal_mixed_format_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A mixed-format corpus (BMP / PNG / baseline JPEG payloads,
+    chosen per doc_id) through ONE feature-extraction pass: the
+    magic-byte dispatch decodes each format natively, so the pipeline
+    doesn't need per-format branches -- the shape of a real crawl
+    where image encodings arrive mixed.  JPEG features differ from the
+    lossless formats only by quantization error (same synthesized
+    pixels)."""
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_bmp, extract_features, synth_bmp
+
+    docs = read_documents(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def _payload(ids: pd.Series) -> pd.Series:
+        from ..operators.multimodal import encode_png
+
+        out = []
+        for i in ids:
+            i = int(i)
+            px = decode_bmp(synth_bmp(i, 16 + i % 8, 12 + i % 5))
+            if i % 3 == 0:
+                out.append(synth_bmp(i, 16 + i % 8, 12 + i % 5))
+            elif i % 3 == 1:
+                out.append(encode_png(px))
+            else:
+                out.append(encode_jpeg(px, quality=90))
+        return pd.Series(out)
+
+    media = docs.select("doc_id", _payload(F.col("doc_id")).alias("media_bytes"))
+    feats = extract_features(media, fake_decode=False)
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "bmp")
+        .when(F.col("doc_id") % 3 == 1, "png")
+        .otherwise("jpeg")
+    )
+    return (
+        feats.select("doc_id", fmt.alias("format"), "feat_norm")
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("feat_norm"), 3).alias("avg_feat_norm"),
+        )
+        .orderBy("format")
+    )
