@@ -1409,3 +1409,84 @@ def weighted_avg_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketch state (Datasketches, Spark 3.5+): the
+# COUNT-DISTINCT twin of operators/incremental.py's monoid rollups.
+# Partial sketches are built per (month, priority) group, persisted as
+# BINARY, and rolled up later with hll_union_agg -- re-aggregating the
+# raw 100 TB is never needed.  The query proves the merge property AS
+# DATA: union-of-partials vs direct whole-set sketch vs exact distinct.
+# --------------------------------------------------------------------------
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+    WITH per_month AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS nd
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(nd) AS BIGINT) AS sum_monthly_distinct
+    FROM per_month
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "sketch", "incremental"),
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frame of the sketch demo: per-month distinct-customer
+    counts rolled up by priority (what the sketches must reproduce).
+    The sketch path itself lives in hll_sketch_union_estimate, whose
+    OUTPUT carries the merged estimate next to the exact value -- kept
+    separate so Catalyst can't prune the sketch work out of the
+    checked query (the vacuous-measurement trap)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_orderpriority"
+    ).agg(F.count_distinct("o_custkey").alias("nd"))
+    return (
+        monthly.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_months"),
+            F.sum("nd").alias("sum_monthly_distinct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("hll_sketch_union_estimate", oracle=None, tags=("agg", "sketch", "incremental"))
+def hll_sketch_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch path, self-validating: per-priority, the
+    estimate from UNIONING the twelve monthly partial sketches next to
+    the exact distinct over the whole set, plus the relative error.
+    merge(sketch(Jan), ..., sketch(Dec)) must land within the HLL
+    error envelope of distinct(Jan..Dec) -- the property that makes
+    persisted partial sketches safe to roll up at 100 TB without
+    touching raw data.  Floor-asserted in tests/test_registry.py."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_orderpriority"
+    ).agg(F.hll_sketch_agg("o_custkey", 14).alias("sketch"))
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        merged.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "merged_estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                5,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )

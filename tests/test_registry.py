@@ -112,3 +112,17 @@ def test_approx_distinct_calibration_within_rsd(spark, sf_dir):
 
     rows = approx_distinct_calibration(spark, sf_dir).collect()
     assert rows and all(r["rel_error"] <= 0.15 for r in rows)
+
+
+def test_hll_sketch_union_within_error_envelope(spark, sf_dir):
+    """Union-of-monthly-partial-sketches must estimate the whole-set
+    cardinality within the HLL envelope (lgK=14 -> ~0.8% rsd; assert
+    3 sigma)."""
+    from big_data_co2_emission_analysis_spark.queries.advanced import (
+        hll_sketch_union_estimate,
+    )
+
+    rows = hll_sketch_union_estimate(spark, sf_dir).collect()
+    assert rows, "no priorities"
+    for r in rows:
+        assert r["rel_err"] <= 0.025, (r["o_orderpriority"], r["rel_err"])
