@@ -1490,3 +1490,34 @@ def hll_sketch_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# ANSI-mode safety valves: Spark 4 runs ANSI SQL by default, where a
+# plain division by zero THROWS mid-job.  try_divide returns NULL
+# instead -- the posture a 100 TB pipeline wants (quarantine bad rows,
+# never lose 6 hours of work to one of them).  DuckDB's `/` already
+# yields NULL on zero denominators, so the oracle is the plain form.
+# --------------------------------------------------------------------------
+@register(
+    "try_divide_tax_ratio",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_zero_discount,
+           {sql_dsum('l_tax / l_discount')} AS sum_tax_ratio
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "ansi"),
+)
+def try_divide_tax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_discount"),
+            dsum(F.try_divide("l_tax", "l_discount")).alias("sum_tax_ratio"),
+        )
+        .orderBy("l_returnflag")
+    )
