@@ -9,6 +9,7 @@ small; shrinking still produces minimal counterexamples on failure.
 
 from datetime import datetime, timedelta
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
