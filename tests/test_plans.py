@@ -322,3 +322,41 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALING.md claims AQE handles skewed joins; pin it: with ~90% of
+    left rows on one key and thresholds scaled to fixture size, the
+    executed SortMergeJoin must report skew=true (the hot partition was
+    split across tasks instead of landing on one reducer).  The
+    consumer is a partial-aggregation sum -- a downstream operator that
+    REQUIRES the join's hash partitioning (e.g. groupBy on the join
+    key) legitimately suppresses the split, because splitting would
+    break the required distribution."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            (F.lit(1) - (F.col("id") % 10 == 0).cast("int")).alias("k"),
+            F.col("id").alias("p"),
+        )
+        right = spark.createDataFrame([(0, "d"), (1, "d")], "k int, a string")
+        j = left.join(right, "k").agg(F.sum("p").alias("s"))
+        j.collect()  # same Dataset: its own AQE plan must have executed
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
