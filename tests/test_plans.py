@@ -360,3 +360,34 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+#: oracle-checked queries allowed to plan a BroadcastNestedLoopJoin --
+#: every entry is a BROADCAST-SCALAR join (build side is one row or a
+#: tiny fixed set: the NLJ degenerates to a per-row filter, the
+#: idiomatic Spark form of a scalar subquery) or a documented exact
+#: baseline.  Anything NOT listed that plans an NLJ is a regression.
+_NLJ_WHITELIST = {
+    "above_avg_balance",      # 1-row global-average build side
+    "tfidf_top_terms",        # 1-row corpus-size scalar
+    "q11_important_parts",    # TPC-H Q11 scalar threshold subquery
+    "q22_sales_opportunity",  # TPC-H Q22 scalar average subquery
+    "knn_cosine_top10",       # documented exact baseline: 5-query broadcast set
+}
+
+
+def test_no_cartesian_or_nested_loop_in_oracle_plans(spark, sf_dir):
+    """Blanket scale-killer guard over the whole registry: no
+    oracle-checked plan may contain a CartesianProduct, and any
+    BroadcastNestedLoopJoin must be one of the whitelisted
+    broadcast-scalar patterns above."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from big_data_co2_emission_analysis_spark.queries import all_queries
+
+    for name, qd in all_queries().items():
+        if qd.oracle is None or "streaming" in qd.tags:
+            continue
+        plan = explain_formatted(qd.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in _NLJ_WHITELIST:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
