@@ -235,3 +235,59 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     stream = read_events_stream(spark, sf_dir)
     result = run_to_completion(op(stream, ["user_id", "event_type"]), output_mode="append")
     return result.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_interval_join_outer",
+    # Both sides restrict to purchases the watermark has provably
+    # FINALIZED (older than max_ts - lookback - watermark): an outer
+    # stream join only emits an unmatched row once the watermark proves
+    # no match can still arrive, so purchases inside the final window
+    # end the bounded run with their state legitimately still open --
+    # comparing them would test stream-termination accidentals, not
+    # join semantics.
+    oracle="""
+    SELECT p.event_id AS p_event_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+           c.value AS c_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+          AND ts < (SELECT MAX(ts) FROM events) - INTERVAL '3 hours 1 minute') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY p_event_id, c_ts
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join run to completion: an
+    unmatched purchase emits its NULL click columns once the watermark
+    proves no matching click can still arrive -- the
+    null-emission-on-state-expiry semantics the inner variant can't
+    show.  Checked on the watermark-finalized region (see oracle
+    comment), where the result must equal the batch LEFT JOIN."""
+    from ..sources.readers import read_events
+    from ..streaming.windows import stream_stream_interval_join_outer
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(
+        stream_stream_interval_join_outer(stream), output_mode="append"
+    )
+    events = read_events(spark, sf_dir)
+    cutoff = events.agg(
+        (F.max("ts") - F.expr("INTERVAL '3 hours 1 minute'")).alias("cut")
+    )
+    return (
+        result.join(F.broadcast(cutoff))
+        .filter(F.col("p_ts") < F.col("cut"))
+        .select(
+            "p_event_id",
+            F.col("p_user_id").alias("user_id"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+            "c_value",
+        )
+        .orderBy("p_event_id", "c_ts")
+    )

@@ -164,6 +164,42 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_interval_join_outer(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: purchases with no click
+    in the lookback window still emit (with NULL click columns) -- but
+    only once the watermark proves no matching click can still arrive.
+    The null-emission-on-state-expiry path is what distinguishes outer
+    stream joins from inner ones; the watermark isn't just a state cap
+    here, it is the CORRECTNESS trigger for the unmatched rows."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user_id = c_user_id AND c_ts >= p_ts - INTERVAL {lookback} AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+
+
 def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: first arrival per key wins, duplicates
     drop for as long as their key stays in the state store.  The
