@@ -1,7 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "queries_cold": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-3 fix -- BENCH_r02 arrived front-truncated and
+unparseable because the driver keeps only the ~2 KB TAIL of stdout and
+the single line carrying 36 warm + 36 cold timings was 2.3 KB):
+
+- The LAST stdout line is a COMPACT JSON under ~200 bytes:
+  {"metric", "value", "unit", "sf", "queries": {...}} where "queries"
+  carries only a few headline aggregates (count, slowest query), never
+  the full per-query maps.
+- The full per-query warm/cold maps go to BENCH_DETAIL.json next to
+  this script, and each query is also echoed to stderr as it finishes.
 
 Each query is timed as plan-build + full execution into a noop sink
 (`df.write.format("noop")`), after a session warm-up action so JVM
@@ -135,18 +144,34 @@ def main() -> None:
         print(f"# {name}: warm={times[name]:.3f}s cold={cold_times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_cold": cold_times,
-                "sf": float(sf),
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_cold": cold_times,
+        "sf": float(sf),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # full maps as an EARLIER stdout line (driver tail-truncates; the
+    # parseable compact line must come last)
+    print(json.dumps(detail))
+    # keep "queries" in the documented {name: sec} shape but only the
+    # slowest few entries so the line stays far under the tail capture
+    slowest3 = sorted(times, key=times.get, reverse=True)[:3]
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(times),
+        "queries": {k: times[k] for k in slowest3},
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1000, f"final bench line must stay tail-parseable, got {len(line)}B"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -353,11 +353,12 @@ def decode_image_batch(payloads, fake: bool = False):
     """Decode a batch of image payloads -> list of FEATURE_DIM feature
     vectors.
 
-    BMP and PNG payloads are decoded for real (module codecs above)
-    into pixel arrays -> grid features.  JPEG needs a DCT decoder
-    (external libraries, absent here) and raises loudly.  ``fake=True``
-    keeps the deterministic byte-stub (rolling byte sums) for payloads
-    that aren't images at all.
+    BMP, PNG and baseline JPEG payloads are decoded for real (module
+    codecs above + operators/jpeg.py) into pixel arrays -> grid
+    features; only genuinely unsupported variants (progressive or
+    arithmetic JPEG, palette PNG, exotic BMP) raise loudly.
+    ``fake=True`` keeps the deterministic byte-stub (rolling byte sums)
+    for payloads that aren't images at all.
     """
     out = []
     for p in payloads:

@@ -28,6 +28,7 @@ cheaper -- documented tradeoff, both are exposed.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,13 +39,21 @@ def exact_quantiles(
     value_col: str,
     qs: list[float],
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """``(key, q, value)`` with one row per key per requested quantile;
     ``value`` is linearly interpolated between the two bracketing order
     statistics, matching SQL ``percentile_cont`` / DuckDB
     ``quantile_cont`` / Spark ``percentile`` bit-for-bit in the common
     ``lo + (pos - lo_rank) * (hi - lo)`` formulation.  NULL values are
-    ignored (SQL aggregate semantics)."""
+    ignored (SQL aggregate semantics).
+
+    ``materialize=True`` (the default, and the only correct mode for
+    real data) persists the range-partitioned frame across the two jobs
+    and returns an eagerly local-checkpointed result.  Pass ``False``
+    ONLY to inspect the un-truncated logical plan -- in that mode the
+    returned frame re-executes the range exchange on collection, which
+    can re-sample different partition boundaries than the counts job."""
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile out of range: {q}")
@@ -57,7 +66,20 @@ def exact_quantiles(
         base = base.repartitionByRange("_k", "_v")
     base = base.withColumn("_pid", F.spark_partition_id())
 
-    # control plane: P*K rows to the driver (partitions x keys, not data)
+    # Materialize the range-partitioned frame ONCE.  repartitionByRange
+    # samples boundaries with a seed derived from the RDD id, which
+    # differs per job: without the persist, the counts job and the
+    # ranked-join job below would each re-run the exchange and could
+    # place boundary-adjacent rows in DIFFERENT partitions than the
+    # ones the broadcast offsets were computed from -- silently wrong
+    # quantiles, and only in the at-scale regime where the sampler
+    # subsamples partitions.  DISK_ONLY: at 100 TB this is a full copy
+    # of the (projected, 2-column) data; memory caching would evict.
+    if materialize:
+        base = base.persist(StorageLevel.DISK_ONLY)
+
+    # control plane: P*K rows to the driver (partitions x keys, not
+    # data); this collect also forces the persist above
     counts = base.groupBy("_pid", "_k").agg(F.count("*").alias("_c")).collect()
     per_key_total: dict = {}
     for r in sorted(counts, key=lambda r: (str(r["_k"]), r["_pid"])):
@@ -95,7 +117,7 @@ def exact_quantiles(
     hit = ranked.join(
         tgt, (ranked["_k"] == tgt["_k"]) & ((ranked["_rank"] == tgt["_lo"]) | (ranked["_rank"] == tgt["_hi"]))
     ).select(ranked["_k"], "q", "_lo", "_hi", "_frac", "_rank", "_v")
-    return (
+    result = (
         hit.groupBy("_k", "q", "_frac")
         .agg(
             F.min(F.when(F.col("_rank") == F.col("_lo"), F.col("_v"))).alias("_vlo"),
@@ -107,3 +129,10 @@ def exact_quantiles(
             (F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))).alias("value"),
         )
     )
+    # The result is tiny (keys x quantiles rows): eagerly materialize it
+    # and truncate its lineage so `base` can be unpersisted here without
+    # a later action silently re-running the un-cached exchange.
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        base.unpersist()
+    return result

@@ -74,12 +74,22 @@ def brute_force_topk(
 def _normalize_to_vector(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
-    norm = l2_norm(F.col(vec_col))
-    return df.select(
+    # norm as its own column FIRST: referencing the aggregate inside the
+    # transform lambda would re-reduce the whole array for every element
+    # (O(d^2) per row) -- Spark does no loop-invariant hoisting inside
+    # higher-order-function lambdas
+    withn = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("raw"),
-        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)).alias("nvec"),
-    ).filter(norm > 0)
+        l2_norm(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    return withn.select(
+        "id",
+        "raw",
+        array_to_vector(
+            F.transform(F.col("raw"), lambda x: x.cast("double") / F.col("__n"))
+        ).alias("nvec"),
+    )
 
 
 def lsh_topk(
@@ -337,15 +347,26 @@ def pq_build_index(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # norm once per row as a column, NOT inside the transform lambda
+    # (which would re-run the O(d) aggregate for each of the d elements)
     base = corpus.select(
         F.col(corpus_id).alias("id"),
-        F.transform(
-            F.col(corpus_vec), lambda x: x.cast("double") / l2_norm(F.col(corpus_vec))
-        ).alias("nvec"),
+        F.col(corpus_vec).alias("__v"),
+        l2_norm(F.col(corpus_vec)).alias("__n"),
+    ).select(
+        "id",
+        F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__n")).alias("nvec"),
     )
+    if train_sample > 1_000_000:
+        raise ValueError(
+            f"train_sample={train_sample}: codebooks train driver-side in numpy; "
+            "keep the sample bounded (<=1e6) -- FAISS-style, more rows don't help"
+        )
     sample = np.array(
         [r["nvec"] for r in base.limit(train_sample).collect()], dtype=np.float64
     )
+    # the limit() above is the ONLY thing keeping this collect bounded
+    assert sample.shape[0] <= train_sample
     books = _train_pq_codebooks(sample, m, ks, seed)
     spark = corpus.sparkSession
     bbooks = spark.sparkContext.broadcast(books)
@@ -382,6 +403,7 @@ def pq_search(
     refine: int = 4,
     query_id: str = "query_id",
     query_vec: str = "qv",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Search phase: per-query ADC lookup tables (Q x m x ks inner
     products, built driver-side -- the query batch is small by
@@ -389,7 +411,12 @@ def pq_search(
     scoring all queries per batch, ADC top ``refine*k`` short-list per
     query, exact cosine re-rank of the short-list against the stored
     normalized vectors.  Returns (query_id, vec_id, cosine, rank)
-    with rank <= k -- the same shape as the other ANN paths."""
+    with rank <= k -- the same shape as the other ANN paths.
+
+    The query batch is collected to the driver (that is what makes the
+    broadcast LUT trick work), so the batch size is capped at
+    ``max_queries`` -- a larger table raises instead of silently
+    OOM-ing the driver; split the batch or raise the cap explicitly."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -402,7 +429,12 @@ def pq_search(
     for r in books_rows:
         books[r["sub"], r["cid"]] = r["cvec"]
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_search collects the query batch to the driver; got more than "
+            f"max_queries={max_queries} rows -- split the batch or raise max_queries"
+        )
     qids = [r[query_id] for r in qrows]
     Q = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -426,10 +458,21 @@ def pq_search(
     short = scored.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= refine * k
     )
+    # the query-id column keeps its source type (string/int/long ids all
+    # valid) instead of a hardcoded long
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    qmap_schema = StructType(
+        [
+            StructField("qidx", IntegerType()),
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField("qn", ArrayType(DoubleType())),
+        ]
+    )
     qmap = F.broadcast(
         spark.createDataFrame(
             [(i, qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
-            f"qidx int, {query_id} long, qn array<double>",
+            qmap_schema,
         )
     )
     rerank = short.join(qmap, "qidx").select(

@@ -18,6 +18,36 @@ from ..sources.readers import read_documents
 from .registry import register
 
 
+def _index_cache_path(sf_dir: str, kind: str) -> str:
+    """Cache location for persisted ANN indexes: rooted at the repo (or
+    $SPARK_GRAFT_CACHE_DIR), keyed by scale-factor name PLUS a
+    fingerprint of the embeddings source files (name + size + mtime) --
+    a regenerated fixture therefore gets a fresh index instead of
+    silently reusing a stale one, and the path follows the checkout
+    instead of hardcoding an absolute directory."""
+    import hashlib
+    import os
+
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".cache",
+        ),
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sig = hashlib.md5()
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            sig.update(f"{name}:{st.st_size}:{int(st.st_mtime)};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(root, f"{kind}_index_{sf_name}_{sig.hexdigest()[:10]}")
+
+
 @register("kmeans_user_change", oracle=None, tags=("ml",))
 def kmeans_user_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline's ML leg (M1-M4) on the fixture-derived
@@ -142,8 +172,7 @@ def ann_ivf_persisted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import ivf_build_index, ivf_search
 
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    index_path = f"/root/repo/.cache/ivf_index_{sf_name}"
+    index_path = _index_cache_path(sf_dir, "ivf")
     if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         ivf_build_index(emb.filter(F.col("vec_id") >= 5), index_path, n_cells=8)
@@ -196,8 +225,7 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import pq_build_index, pq_search
 
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    index_path = f"/root/repo/.cache/pq_index_{sf_name}"
+    index_path = _index_cache_path(sf_dir, "pq")
     if not os.path.exists(f"{index_path}/codebooks/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         pq_build_index(emb.filter(F.col("vec_id") >= 5), index_path, m=8, ks=16)

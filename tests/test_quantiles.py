@@ -58,5 +58,26 @@ def test_no_single_reducer_window(spark, sf_dir):
     from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    plan = explain_formatted(exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.5]))
+    plan = explain_formatted(
+        exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.5], materialize=False)
+    )
     assert "SinglePartition" not in plan
+    # the plan must be the real computation, not a checkpoint scan
+    assert "Window" in plan
+
+
+def test_materialized_result_survives_unpersist(spark):
+    """The default (materialize=True) result must collect the same values
+    twice -- its lineage is truncated, so the unpersisted range exchange
+    can never silently re-run with different sampled boundaries."""
+    rows = [("a", float(v)) for v in range(500)] + [("b", float(v)) for v in range(300)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    out = exact_quantiles(df, "k", "v", [0.25, 0.5, 0.75], num_partitions=8)
+    first = sorted(map(tuple, out.collect()))
+    second = sorted(map(tuple, out.collect()))
+    assert first == second
+    assert ("a", 0.5, 249.5) in first
+    # checkpointed: no exchange left in the physical plan of the result
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    assert "Exchange" not in explain_formatted(out)

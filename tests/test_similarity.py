@@ -6,6 +6,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_co2_emission_analysis_spark.operators.similarity import (
     brute_force_topk,
@@ -190,6 +191,57 @@ def test_pq_search_never_refits_and_is_deterministic(planted, tmp_path):
     a = [tuple(r) for r in pq_search(spark, path, queries, k=5).collect()]
     b = [tuple(r) for r in pq_search(spark, path, queries, k=5).collect()]
     assert a == b
+
+
+def test_pq_search_caps_driver_side_query_collect(planted, tmp_path):
+    """pq_search collects the query batch to the driver (for the ADC
+    LUT broadcast); beyond max_queries it must refuse with a clear
+    error, never silently collect an unbounded table."""
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        pq_build_index,
+        pq_search,
+    )
+
+    corpus, queries = planted
+    path = str(tmp_path / "pq3")
+    pq_build_index(corpus, path, m=4, ks=16)
+    spark = corpus.sparkSession
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_search(spark, path, queries, k=5, max_queries=2)
+    # at the cap exactly, it runs
+    n_queries = queries.count()
+    assert pq_search(spark, path, queries, k=5, max_queries=n_queries).count() > 0
+
+
+def test_pq_build_rejects_unbounded_train_sample(planted, tmp_path):
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.operators.similarity import pq_build_index
+
+    corpus, _ = planted
+    with pytest.raises(ValueError, match="train_sample"):
+        pq_build_index(corpus, str(tmp_path / "pq4"), m=4, ks=16, train_sample=2_000_000)
+
+
+def test_pq_search_string_query_ids(planted, tmp_path):
+    """The qmap schema derives the id type from the query table --
+    string ids must work (regression: it was hardcoded `long`)."""
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        pq_build_index,
+        pq_search,
+    )
+
+    corpus, queries = planted
+    squeries = queries.select(
+        F.concat(F.lit("q-"), F.col("query_id").cast("string")).alias("query_id"), "qv"
+    )
+    path = str(tmp_path / "pq5")
+    pq_build_index(corpus, path, m=4, ks=16)
+    res = pq_search(corpus.sparkSession, path, squeries, k=5).collect()
+    assert len(res) > 0
+    assert all(r["query_id"].startswith("q-") for r in res)
 
 
 def test_pq_registry_recall_floor(spark, sf_dir):
