@@ -62,10 +62,14 @@ HEADLINE = [
     "events_hourly_counts",
     "user_session_counts",
     "user_change",
-    # windows / stats / percentiles
+    # windows / stats / percentiles -- the two SCALE paths for exact
+    # and approximate percentiles; the built-in exact `percentile`
+    # (quartiles_per_flag) stays registry-only because its per-group
+    # reducer buffer is the documented anti-pattern, not the engine's
+    # recommended cost (COVERAGE.md)
     "running_supplier_qty",
     "brand_price_stats",
-    "quartiles_per_flag",
+    "approx_quartiles_per_flag",
     "quartiles_per_flag_distributed",
     # joins beyond equi
     "asof_click_before_purchase",
@@ -88,8 +92,13 @@ HEADLINE = [
     # queries() but is ~2x slower for identical output -- COVERAGE.md)
     "minhash_banded_near_dups",
     "ngram_jaccard_pairs",
-    # vectors
+    # vectors: exact baseline + the two persisted-index ANN paths
+    # (index built once in warm-up, like the bucketed tables -- the
+    # timed number is steady-state SEARCH, the build-once/search-many
+    # claim measured)
     "knn_cosine_top10",
+    "ann_ivf_persisted_top10",
+    "ann_pq_top10",
     "embedding_norms",
     # flagship composition: quality gate -> fingerprint dedup -> packing
     "curated_corpus_manifest",
@@ -122,6 +131,16 @@ def main() -> None:
 
     ensure_bucketed_tables(spark, sf_dir)
     ensure_partitioned_orders(spark, sf_dir)
+    # ANN index builds (IVF cells + centroids, PQ codes + codebooks) are
+    # one-time ingest jobs; run each query once so its index exists and
+    # the timed runs below measure search-only
+    from big_data_co2_emission_analysis_spark.queries.mlops import (
+        ann_ivf_persisted_top10,
+        ann_pq_top10,
+    )
+
+    ann_ivf_persisted_top10(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    ann_pq_top10(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     qs = all_queries()
     times: dict[str, float] = {}

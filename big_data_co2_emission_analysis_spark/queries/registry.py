@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         streaming_queries,
         text_queries,
+        timeseries_queries,
         tpch_shapes,
         tpch_suite,
         vector_queries,

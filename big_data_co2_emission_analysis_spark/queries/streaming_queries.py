@@ -167,12 +167,45 @@ def streaming_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
-@register("streaming_session_windows", oracle=None, tags=("streaming",))
+@register(
+    "streaming_session_windows",
+    # Batch replay of Spark's session_window merge rule: an event joins
+    # the open session iff its ts is STRICTLY inside [start, last+gap)
+    # (half-open window), i.e. new-session when ts - lag(ts) >= gap;
+    # session end = last event + gap.  The bounded fixture runs as ONE
+    # micro-batch in complete mode, so the watermark never drops rows
+    # mid-run and the streaming result must equal this batch
+    # sessionization exactly.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming",),
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (30 min) per user.  Session merge
-    semantics aren't batch-SQL-expressible; the session *count* per
-    user is cross-checked against the batch lag+cumsum sessionization
-    in tests/test_streaming.py."""
+    """Gap-based session windows (30 min) per user, run to completion.
+    Oracle: the batch lag+cumsum sessionization (islands of events with
+    consecutive gaps < 30 min; session end = last event + gap), which
+    Spark's session_window must match over a bounded single-batch
+    source."""
     stream = read_events_stream(spark, sf_dir)
     result = run_to_completion(session_windows(stream, "30 minutes"), output_mode="complete")
     return result.select(

@@ -172,3 +172,72 @@ def test_decode_image_dispatch_includes_jpeg():
     px = _gradient(24, 24)
     dec = decode_image(encode_jpeg(px, 95))
     assert dec.shape == (24, 24, 3)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis sweep over (H, W, quality): the fixed-size tests above pin
+# specific MCU layouts; shrinking-enabled property tests catch the
+# Annex-K quantization / edge-padding cases those specific shapes miss
+# (odd dimensions crossing MCU boundaries, 1-pixel strips, extreme
+# qualities).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_JPEG_SETTINGS = dict(max_examples=30, deadline=None)
+
+
+@settings(**_JPEG_SETTINGS)
+@given(
+    h=st.integers(min_value=1, max_value=41),
+    w=st.integers(min_value=1, max_value=41),
+    quality=st.integers(min_value=5, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_round_trip_shape_and_range_any_content(h, w, quality, seed):
+    """ANY (H, W, quality), arbitrary noise content: the round trip must
+    preserve shape/dtype and produce in-range pixels -- no exception, no
+    MCU-edge garbage dimensions."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert dec.shape == (h, w, 3)
+    assert dec.dtype == np.uint8
+
+
+@settings(**_JPEG_SETTINGS)
+@given(
+    h=st.integers(min_value=1, max_value=41),
+    w=st.integers(min_value=1, max_value=41),
+    quality=st.integers(min_value=85, max_value=100),
+    base=st.integers(min_value=30, max_value=220),
+    gx=st.floats(min_value=-1.5, max_value=1.5),
+    gy=st.floats(min_value=-1.5, max_value=1.5),
+)
+def test_round_trip_smooth_content_bounded_error(h, w, quality, base, gx, gy):
+    """Smooth (clipped linear gradient) content at quality >= 85 must
+    round-trip with tightly bounded error at every size -- including
+    sizes that exercise the right/bottom edge replication padding."""
+    y, x = np.mgrid[0:h, 0:w]
+    plane = np.clip(base + gx * x + gy * y, 0, 255)
+    px = np.stack([plane, plane, plane], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=quality))
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.max() <= 12
+    assert err.mean() < 3.0
+
+
+@settings(**_JPEG_SETTINGS)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    val=st.integers(min_value=0, max_value=255),
+    quality=st.integers(min_value=50, max_value=100),
+)
+def test_solid_color_near_exact_any_size(h, w, val, quality):
+    """A solid color has only a DC coefficient; every size/quality must
+    reconstruct it within rounding of the DC quantization step."""
+    solid = np.full((h, w, 3), val, np.uint8)
+    dec = decode_jpeg(encode_jpeg(solid, quality))
+    assert np.abs(dec.astype(int) - int(val)).max() <= 3

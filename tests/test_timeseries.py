@@ -1,0 +1,122 @@
+"""Time-series operators (operators/timeseries.py): gap-fill spine,
+LOCF / linear fills, time-weighted average."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.timeseries import (
+    bucket_rollup,
+    gap_fill,
+    time_weighted_avg,
+)
+
+
+def _daily(spark, rows):
+    """rows: (key, day-of-month, value|None present) -> bucketed frame."""
+    data = [(k, datetime(2024, 1, d), float(v)) for k, d, v in rows]
+    return spark.createDataFrame(data, "k string, bucket timestamp, v double")
+
+
+def _fill_map(df):
+    return {(r["k"], r["bucket"].day): (r["filled"], r["observed"]) for r in df.collect()}
+
+
+def test_locf_fills_interior_gaps(spark):
+    df = _daily(spark, [("a", 1, 10), ("a", 3, 30), ("a", 6, 60)])
+    got = _fill_map(gap_fill(df, ["k"], "bucket", "1 DAY", "v", method="locf"))
+    assert got[("a", 1)] == (10.0, True)
+    assert got[("a", 2)] == (10.0, False)  # carried forward
+    assert got[("a", 3)] == (30.0, True)
+    assert got[("a", 4)] == (30.0, False)
+    assert got[("a", 5)] == (30.0, False)
+    assert got[("a", 6)] == (60.0, True)
+    assert len(got) == 6  # spine covers every day in [first, last]
+
+
+def test_linear_interpolates_and_leaves_edges_null(spark):
+    df = _daily(spark, [("a", 1, 0), ("a", 4, 30)])
+    got = _fill_map(gap_fill(df, ["k"], "bucket", "1 DAY", "v", method="linear"))
+    assert got[("a", 1)] == (0.0, True)
+    assert got[("a", 2)] == (10.0, False)
+    assert got[("a", 3)] == (20.0, False)
+    assert got[("a", 4)] == (30.0, True)
+
+
+def test_none_method_keeps_gaps_null(spark):
+    df = _daily(spark, [("a", 1, 1), ("a", 3, 3)])
+    got = _fill_map(gap_fill(df, ["k"], "bucket", "1 DAY", "v", method="none"))
+    assert got[("a", 2)] == (None, False)
+    assert got[("a", 1)] == (1.0, True)
+
+
+def test_keys_do_not_bleed(spark):
+    """Each key's spine spans only its own [min, max]; fills never read
+    another key's observations."""
+    df = _daily(spark, [("a", 1, 5), ("a", 4, 8), ("b", 2, 100), ("b", 3, 200)])
+    got = _fill_map(gap_fill(df, ["k"], "bucket", "1 DAY", "v", method="locf"))
+    assert {d for (k, d) in got if k == "a"} == {1, 2, 3, 4}
+    assert {d for (k, d) in got if k == "b"} == {2, 3}
+    assert got[("a", 2)] == (5.0, False)  # not b's 100
+    assert got[("b", 3)] == (200.0, True)
+
+
+def test_invalid_method_raises(spark):
+    df = _daily(spark, [("a", 1, 1)])
+    with pytest.raises(ValueError, match="method"):
+        gap_fill(df, ["k"], "bucket", "1 DAY", "v", method="cubic")
+
+
+def test_gap_fill_partition_invariance(spark):
+    rows = [("a", d, d * 2) for d in range(1, 20, 3)] + [("b", d, d) for d in range(2, 28, 5)]
+    df = _daily(spark, rows)
+    a = _fill_map(gap_fill(df.repartition(1), ["k"], "bucket", "1 DAY", "v", "linear"))
+    b = _fill_map(gap_fill(df.repartition(17), ["k"], "bucket", "1 DAY", "v", "linear"))
+    assert a == b
+
+
+def test_bucket_rollup_day_grain(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 3, 15), 1.0),
+            ("a", datetime(2024, 1, 1, 22, 59), 2.0),
+            ("a", datetime(2024, 1, 2, 0, 0), 4.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = bucket_rollup(df, ["k"], "ts", "day", [F.sum("v").alias("s")])
+    got = {r["bucket"].day: r["s"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 4.0}
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    # value 10 holds for 3600 s, then 20 for 1800 s -> twa = (10*3600 +
+    # 20*1800) / 5400 = 13.3333...
+    df = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            ("u", datetime(2024, 1, 1, 1, 0, 0), 20.0),
+            ("u", datetime(2024, 1, 1, 1, 30, 0), 99.0),  # last value carries no area
+            ("solo", datetime(2024, 1, 1), 5.0),  # single obs -> dropped (no span)
+        ],
+        "k string, ts timestamp, v double",
+    )
+    rows = time_weighted_avg(df, ["k"], "ts", "v").collect()
+    got = {r["k"]: (r["twa"], r["n_obs"]) for r in rows}
+    assert set(got) == {"u"}
+    twa, n = got["u"]
+    assert n == 3
+    assert twa == pytest.approx((10 * 3600 + 20 * 1800) / 5400, abs=1e-9)
+
+
+def test_gap_fill_plan_has_no_single_partition_window(spark):
+    """The fill windows are per-key -- a partition-less window would
+    serialize the whole series onto one reducer."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    df = _daily(spark, [("a", 1, 1), ("a", 9, 9)])
+    plan = explain_formatted(gap_fill(df, ["k"], "bucket", "1 DAY", "v", "linear"))
+    assert "SinglePartition" not in plan
