@@ -887,6 +887,63 @@ def orders_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MERGE INTO semantics (operators/merge.py): Delta-style upsert as one
+# full-outer key join + codegen'd CASE.  The scenario exercises all
+# three clauses at once -- matched+delete (source status 'F'), matched
+# update (price restated), not-matched insert -- and the oracle replays
+# them as explicit SQL set logic.
+# --------------------------------------------------------------------------
+@register(
+    "merge_orders_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    s AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+               AND s.o_orderstatus = 'F')
+    ORDER BY o_orderkey
+    """,
+    tags=("merge", "join"),
+)
+def merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a restated order feed (even keys, +10% price) into a
+    stale target (keys not divisible by 4): matched 'F'-status source
+    rows DELETE their target row, other matches UPDATE to source
+    values, unmatched source rows INSERT, untouched target rows pass
+    through."""
+    from ..operators.merge import merge_source_col, merge_upsert
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 4 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(
+        target,
+        source,
+        keys=["o_orderkey"],
+        when_matched_delete=merge_source_col("o_orderstatus") == "F",
+    )
+    return merged.orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
 # Skew-salted join (operators/joins.py): semantically a plain equi-join
 # -- the oracle proves exactly that -- while the physical plan spreads
 # each key over num_salts reducers.  This is the explicit-salting tool

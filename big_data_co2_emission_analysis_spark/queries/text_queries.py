@@ -917,3 +917,63 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, flag in flags.items()
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical relevance (functions/ranking.py): the retrieval-side
+# score next to the embedding ANN path.  Scores round to 6 dp before
+# the top-k cut: ln() may differ by an ULP between Java's Math.log and
+# DuckDB's libm, and the per-doc 3-term sum is order-sensitive at the
+# last bit -- 6 dp absorbs both while keeping the ordering honest.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "shuffle", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    q AS (SELECT doc_id, term FROM toks WHERE term IN {str(tuple(_BM25_TERMS))}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             LN(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * dl.len / stats.avgdl))
+               AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS score, COUNT(*) AS n_matched_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "ranking"),
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by BM25 relevance for a fixed 3-term query."""
+    from ..functions.ranking import bm25_scores
+
+    scores = bm25_scores(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+    return (
+        scores.select(
+            "doc_id", F.round("score", 6).alias("score"), "n_matched_terms"
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )

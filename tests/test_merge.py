@@ -1,0 +1,123 @@
+"""MERGE INTO semantics (operators/merge.py): clause matrix, duplicate
+source-key policies, schema guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.merge import (
+    merge_source_col,
+    merge_upsert,
+)
+
+SCHEMA = "k long, status string, amount double"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def tables(spark):
+    target = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "O", 20.0), (3, "F", 30.0)], SCHEMA
+    )
+    source = spark.createDataFrame(
+        [(2, "O", 99.0), (3, "F", 33.0), (4, "O", 40.0)], SCHEMA
+    )
+    return target, source
+
+
+def test_update_insert_keep(tables):
+    target, source = tables
+    out = _rows(merge_upsert(target, source, ["k"]))
+    assert out == {
+        (1, "O", 10.0),  # target-only kept
+        (2, "O", 99.0),  # matched -> source wins
+        (3, "F", 33.0),  # matched -> source wins
+        (4, "O", 40.0),  # source-only inserted
+    }
+
+
+def test_matched_delete_clause(tables):
+    target, source = tables
+    out = _rows(
+        merge_upsert(
+            target,
+            source,
+            ["k"],
+            when_matched_delete=merge_source_col("status") == "F",
+        )
+    )
+    # k=3 matched with source status F -> deleted; unmatched source
+    # rows insert regardless of their status (Delta semantics)
+    assert out == {(1, "O", 10.0), (2, "O", 99.0), (4, "O", 40.0)}
+
+
+def test_no_insert_mode(tables):
+    target, source = tables
+    out = _rows(merge_upsert(target, source, ["k"], when_not_matched_insert=False))
+    assert out == {(1, "O", 10.0), (2, "O", 99.0), (3, "F", 33.0)}
+
+
+def test_no_update_mode(tables):
+    target, source = tables
+    out = _rows(merge_upsert(target, source, ["k"], when_matched_update=False))
+    assert out == {(1, "O", 10.0), (2, "O", 20.0), (3, "F", 30.0), (4, "O", 40.0)}
+
+
+def test_duplicate_source_keys_raise(spark, tables):
+    target, _ = tables
+    dup = spark.createDataFrame([(2, "O", 1.0), (2, "O", 2.0)], SCHEMA)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as e:
+        merge_upsert(target, dup, ["k"]).collect()
+    assert "multiple source rows" in str(e.value)
+
+
+def test_duplicate_first_policy_deterministic(spark, tables):
+    target, _ = tables
+    dup = spark.createDataFrame(
+        [(2, "O", 5.0), (2, "O", 1.0), (4, "O", 7.0)], SCHEMA
+    )
+    out = _rows(
+        merge_upsert(
+            target, dup, ["k"], on_duplicate_source="first", order_dups_by=["amount"]
+        )
+    )
+    assert (2, "O", 1.0) in out  # smallest amount wins deterministically
+    assert (2, "O", 5.0) not in out
+    assert (4, "O", 7.0) in out
+
+
+def test_first_policy_requires_order(tables):
+    target, source = tables
+    with pytest.raises(ValueError, match="order_dups_by"):
+        merge_upsert(target, source, ["k"], on_duplicate_source="first")
+
+
+def test_schema_mismatch_rejected(spark, tables):
+    target, _ = tables
+    bad = spark.createDataFrame([(1, "O")], "k long, status string")
+    with pytest.raises(ValueError, match="columns"):
+        merge_upsert(target, bad, ["k"])
+
+
+def test_null_keys_match_null_safely(spark):
+    """eqNullSafe: a NULL key in both sides is ONE entity (updated),
+    not a cartesian of never-matching rows."""
+    t = spark.createDataFrame([(None, "O", 1.0), (1, "O", 2.0)], SCHEMA)
+    s = spark.createDataFrame([(None, "X", 9.0)], SCHEMA)
+    out = _rows(merge_upsert(t, s, ["k"]))
+    assert out == {(None, "X", 9.0), (1, "O", 2.0)}
+
+
+def test_merge_plan_no_cartesian(spark, tables):
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    target, source = tables
+    plan = explain_formatted(merge_upsert(target, source, ["k"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -1,0 +1,88 @@
+"""BM25 scoring (functions/ranking.py): hand-computed scores, ordering
+properties, tokenizer behavior."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.functions.ranking import bm25_scores, tokenize
+
+K1, B = 1.2, 0.75
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=K1, b=B):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "cat dog cat"),        # len 3
+            (2, "dog bird"),           # len 2
+            (3, "fish fish fish"),     # len 3
+            (4, "cat bird fish dog"),  # len 4
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_hand_computed_scores(corpus):
+    got = {r["doc_id"]: r for r in bm25_scores(corpus, ["cat"]).collect()}
+    # N=4, avgdl=3.0; 'cat': df=2; doc1 tf=2 len=3, doc4 tf=1 len=4
+    assert set(got) == {1, 4}
+    assert got[1]["score"] == pytest.approx(_bm25(2, 2, 4, 3, 3.0), rel=1e-12)
+    assert got[4]["score"] == pytest.approx(_bm25(1, 2, 4, 4, 3.0), rel=1e-12)
+    assert got[1]["n_matched_terms"] == 1
+
+
+def test_multi_term_sums_and_counts(corpus):
+    got = {r["doc_id"]: r for r in bm25_scores(corpus, ["cat", "fish"]).collect()}
+    assert got[4]["n_matched_terms"] == 2
+    want = _bm25(1, 2, 4, 4, 3.0) + _bm25(1, 2, 4, 4, 3.0)  # cat df=2, fish df=2
+    assert got[4]["score"] == pytest.approx(want, rel=1e-12)
+    # doc3: only fish, tf=3
+    assert got[3]["score"] == pytest.approx(_bm25(3, 2, 4, 3, 3.0), rel=1e-12)
+
+
+def test_rarer_term_outranks_common_at_equal_tf(spark):
+    df = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 9)] + [(9, "rare common")],
+        "doc_id long, text string",
+    )
+    scores = {
+        (r["doc_id"], ): r["score"]
+        for r in bm25_scores(df, ["rare"]).collect()
+    }
+    common = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["common"]).collect()}
+    # same tf=1, same doc length: rare term must score doc 9 higher
+    assert scores[(9,)] > common[9]
+
+
+def test_query_casefolded_and_empty_rejected(corpus):
+    up = {r["doc_id"] for r in bm25_scores(corpus, ["CAT"]).collect()}
+    assert up == {1, 4}
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(corpus, [])
+
+
+def test_no_match_returns_empty(corpus):
+    assert bm25_scores(corpus, ["zebra"]).count() == 0
+
+
+def test_tokenize_drops_empties(spark):
+    df = spark.createDataFrame([("  a  b  ",)], "t string")
+    toks = df.select(tokenize(F.col("t")).alias("x")).collect()[0]["x"]
+    assert toks == ["a", "b"]
+
+
+def test_bm25_plan_stays_native(corpus):
+    """No Python-UDF boundary in the scoring plan."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    plan = explain_formatted(bm25_scores(corpus, ["cat", "dog"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
