@@ -74,6 +74,11 @@ HEADLINE = [
     # joins beyond equi
     "asof_click_before_purchase",
     "world_geo_revenue",
+    # round-3 additions: MERGE upsert (full-outer key join + CASE) and
+    # the time-series gap-fill family
+    "merge_orders_upsert",
+    "user_daily_gap_locf",
+    "user_value_twa",
     # co-located (bucketed) join: table build is in warm-up, the timed
     # query shows the exchange-free join payoff
     "bucketed_priority_revenue",
@@ -86,6 +91,7 @@ HEADLINE = [
     "doc_stats",
     "dedup_exact_groups",
     "top_tokens",
+    "bm25_top_docs",
     "simhash_signatures",
     # near-dup mining: the custom banded-LSH operator is the engine's
     # scale path (minhash_near_dups, the pyspark.ml variant, stays in

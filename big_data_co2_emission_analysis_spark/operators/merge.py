@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-DUP_POLICIES = ("error", "first")
+DUP_POLICIES = ("error", "first", "assume_unique")
 
 
 def merge_upsert(
@@ -35,6 +35,7 @@ def merge_upsert(
     when_matched_delete: Column | None = None,
     on_duplicate_source: str = "error",
     order_dups_by: list[str] | None = None,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` on ``keys``; returns the new
     target (same schema as ``target``).
@@ -47,7 +48,18 @@ def merge_upsert(
     ``on_duplicate_source='error'`` fails the job if two source rows
     share a key (ambiguous merge -- the Delta behavior);
     ``'first'`` keeps the first by ``order_dups_by`` (required then,
-    so the winner is deterministic, not partition-order luck).
+    so the winner is deterministic, not partition-order luck);
+    ``'assume_unique'`` skips the guard entirely -- the exchange-minimal
+    scale path when uniqueness is guaranteed upstream (the guard embeds
+    raise_error in the key column, which hides the key from alias
+    tracking and costs one extra source-side exchange before the join).
+
+    ``null_safe_keys=False`` (default) follows SQL/Delta MERGE: a NULL
+    key never matches, so NULL-key source rows insert and NULL-key
+    target rows persist.  ``True`` treats NULL as one joinable entity
+    (entity-resolution merges) -- at the cost of an extra source-side
+    exchange, because the null-safe join hashes ``coalesce``-wrapped
+    keys and cannot reuse the dup-guard window's partitioning.
     """
     if on_duplicate_source not in DUP_POLICIES:
         raise ValueError(f"on_duplicate_source must be one of {DUP_POLICIES}")
@@ -81,6 +93,8 @@ def merge_upsert(
                 for c in cols
             ]
         )
+    elif on_duplicate_source == "assume_unique":
+        src = source
     else:
         if not order_dups_by:
             raise ValueError("on_duplicate_source='first' requires order_dups_by")
@@ -99,7 +113,10 @@ def merge_upsert(
         *[F.col(c).alias(f"__s_{c}") for c in cols],
         F.lit(True).alias("__in_s"),
     )
-    cond = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in keys]
+    if null_safe_keys:
+        cond = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in keys]
+    else:
+        cond = [t[f"__t_{k}"] == s[f"__s_{k}"] for k in keys]
     j = t.join(s, cond, "full_outer")
 
     in_t = F.coalesce(F.col("__in_t"), F.lit(False))

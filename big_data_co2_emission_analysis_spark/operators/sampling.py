@@ -151,3 +151,54 @@ def deterministic_group_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+# -- weighted sampling (Efraimidis-Spirakis exponential keys) --------------
+
+_LCG_M = 2147483647  # 2^31 - 1 (Lehmer/Park-Miller modulus)
+_LCG_A = 48271
+_LCG_C = 12820163
+
+
+def _portable_uniform(id_col, seed: int):
+    """Deterministic uniform in (0, 1] from an integer id: two Lehmer
+    LCG rounds in exact BIGINT arithmetic (every term < 2^63, so ANSI
+    mode never overflows).  The SAME formula runs verbatim in any SQL
+    engine -- that portability is the point; Spark's per-partition RNG
+    streams would make the sample partitioning-dependent and
+    un-oracle-able."""
+    h1 = (F.lit(_LCG_A) * (id_col % _LCG_M) + F.lit(int(seed) % _LCG_M)) % _LCG_M
+    h2 = (F.lit(_LCG_A) * h1 + F.lit(_LCG_C)) % _LCG_M
+    return (h2.cast("double") + 1.0) / float(_LCG_M + 1)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of (up to) ``k`` rows
+    per group: Efraimidis-Spirakis A-ES -- each row draws exponential
+    key ``-ln(u) / w`` and the k smallest keys win, which makes
+    P(selected) proportional to weight without ever materializing
+    cumulative weight tables.  One window per group, no self-joins,
+    deterministic for a given seed on ANY partitioning (portable LCG
+    uniform, not Spark RNG).  Non-positive / NULL weights are excluded
+    (they carry no sampling mass).  Adds ``sample_key`` for
+    auditability."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = _portable_uniform(F.col(id_col).cast("long"), seed)
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", -F.log(u) / F.col(weight_col).cast("double"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("sample_key", id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

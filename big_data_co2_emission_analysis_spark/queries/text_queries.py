@@ -977,3 +977,46 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (operators/sampling.py weighted_sample_k): A-ES
+# exponential keys over a PORTABLE integer-arithmetic uniform, so the
+# oracle replays the exact draw -- a seeded weighted sample that any
+# engine reproduces row-for-row.
+# --------------------------------------------------------------------------
+@register(
+    "weighted_doc_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -LN((((48271 * ((48271 * (doc_id % 2147483647) + 42) % 2147483647)
+                    + 12820163) % 2147483647) + 1.0) / 2147483648.0)
+               / CAST(n_chars AS DOUBLE) AS sample_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY sample_key, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, ROUND(sample_key, 6) AS sample_key
+    FROM r WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "text"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per language, selection probability proportional to
+    n_chars (longer docs favored) -- deterministic weighted sampling
+    without replacement, reproduced exactly by the SQL oracle."""
+    from ..operators.sampling import weighted_sample_k
+
+    out = weighted_sample_k(
+        _docs(spark, sf_dir), ["lang"], "doc_id", "n_chars", k=5, seed=42
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    ).orderBy("lang", "doc_id")

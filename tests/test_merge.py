@@ -106,12 +106,21 @@ def test_schema_mismatch_rejected(spark, tables):
         merge_upsert(target, bad, ["k"])
 
 
-def test_null_keys_match_null_safely(spark):
-    """eqNullSafe: a NULL key in both sides is ONE entity (updated),
-    not a cartesian of never-matching rows."""
+def test_null_keys_default_sql_semantics(spark):
+    """Default (SQL/Delta MERGE): NULL keys never match -- the NULL-key
+    source row INSERTS alongside the persisting NULL-key target row."""
     t = spark.createDataFrame([(None, "O", 1.0), (1, "O", 2.0)], SCHEMA)
     s = spark.createDataFrame([(None, "X", 9.0)], SCHEMA)
     out = _rows(merge_upsert(t, s, ["k"]))
+    assert out == {(None, "O", 1.0), (None, "X", 9.0), (1, "O", 2.0)}
+
+
+def test_null_keys_opt_in_null_safe(spark):
+    """null_safe_keys=True: a NULL key in both sides is ONE entity
+    (updated), for entity-resolution style merges."""
+    t = spark.createDataFrame([(None, "O", 1.0), (1, "O", 2.0)], SCHEMA)
+    s = spark.createDataFrame([(None, "X", 9.0)], SCHEMA)
+    out = _rows(merge_upsert(t, s, ["k"], null_safe_keys=True))
     assert out == {(None, "X", 9.0), (1, "O", 2.0)}
 
 
@@ -121,3 +130,21 @@ def test_merge_plan_no_cartesian(spark, tables):
     target, source = tables
     plan = explain_formatted(merge_upsert(target, source, ["k"]))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_assume_unique_skips_guard_exchange(spark, tables):
+    """'assume_unique' must produce a plan with exactly one exchange
+    per join side (the SMJ's own) -- the guard's extra source-side
+    exchange is gone."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    target, source = tables
+    guarded = explain_formatted(merge_upsert(target, source, ["k"]))
+    lean = explain_formatted(
+        merge_upsert(target, source, ["k"], on_duplicate_source="assume_unique")
+    )
+    assert lean.count("Exchange") < guarded.count("Exchange")
+    assert "Window" not in lean
+    # semantics unchanged on a unique-key source
+    out = _rows(merge_upsert(target, source, ["k"], on_duplicate_source="assume_unique"))
+    assert out == _rows(merge_upsert(target, source, ["k"]))

@@ -120,3 +120,48 @@ def test_gap_fill_plan_has_no_single_partition_window(spark):
     df = _daily(spark, [("a", 1, 1), ("a", 9, 9)])
     plan = explain_formatted(gap_fill(df, ["k"], "bucket", "1 DAY", "v", "linear"))
     assert "SinglePartition" not in plan
+
+
+# -- weighted sampling (operators/sampling.py weighted_sample_k) -----------
+
+
+def test_weighted_sample_k_deterministic_and_bounded(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    a = {(r["id"]) for r in weighted_sample_k(df, ["grp"], "id", "w", k=10).collect()}
+    b = {(r["id"]) for r in weighted_sample_k(df.repartition(13), ["grp"], "id", "w", k=10).collect()}
+    assert a == b  # partitioning-invariant (portable LCG, not Spark RNG)
+    per_group = (
+        weighted_sample_k(df, ["grp"], "id", "w", k=10)
+        .groupBy("grp").count().collect()
+    )
+    assert all(r["count"] == 10 for r in per_group)
+
+
+def test_weighted_sample_seed_sensitivity_and_weight_bias(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "g", 100.0 if i < 20 else 0.01) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    picked = [r["id"] for r in weighted_sample_k(df, ["grp"], "id", "w", k=10).collect()]
+    # heavy rows are 10,000x likelier: essentially all picks land there
+    assert sum(1 for i in picked if i < 20) >= 8
+    other = {r["id"] for r in weighted_sample_k(df, ["grp"], "id", "w", k=10, seed=7).collect()}
+    assert other != set(picked)  # seed changes the draw
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from big_data_co2_emission_analysis_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 0.0), (3, "g", -1.0), (4, "g", None)],
+        "id long, grp string, w double",
+    )
+    got = {r["id"] for r in weighted_sample_k(df, ["grp"], "id", "w", k=10).collect()}
+    assert got == {1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be positive"):
+        weighted_sample_k(df, ["grp"], "id", "w", k=0)

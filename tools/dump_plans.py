@@ -118,6 +118,32 @@ SHOWCASE = [
         "in the plan is the output ORDER BY that the oracle contract "
         "adds for deterministic comparison, not part of the operator.",
     ),
+    (
+        "merge_orders_upsert",
+        "MERGE INTO: one FullOuter SortMergeJoin on the merge key "
+        "(bucket the target at 100 TB and its exchange disappears); "
+        "update/insert/delete resolution is a single codegen'd CASE "
+        "projection.  The duplicate-source guard costs one extra "
+        "source-side exchange (raise_error embedded in the key column "
+        "hides it from alias tracking); on_duplicate_source="
+        "'assume_unique' drops that exchange when uniqueness is "
+        "guaranteed upstream.",
+    ),
+    (
+        "user_daily_gap_locf",
+        "Time-series gap-fill: the spine generates via sequence()+explode "
+        "NEXT to each key's min/max aggregate row (no date-dim cross "
+        "join); the LOCF fill is a per-key window -- the plan shuffles "
+        "on user_id for the rollup and the fill, never on a "
+        "SinglePartition.",
+    ),
+    (
+        "bm25_top_docs",
+        "BM25: the query-term filter sits UNDER the tf aggregate, so the "
+        "(doc, term) shuffle carries only matching tokens; df stats and "
+        "corpus scalars come back as broadcasts; the top-50 cut is "
+        "TakeOrderedAndProject, not a global sort.",
+    ),
 ]
 
 
