@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QueryDef]:
         co2_shaped,
         mlops,
         multimodal_queries,
+        profiling_queries,
         relational,
         streaming_queries,
         text_queries,

@@ -1,0 +1,78 @@
+"""Profiling operators (operators/profiling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_co2_emission_analysis_spark.operators.profiling import (
+    column_profile,
+    key_skew_report,
+    numeric_histogram,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, None, 30.0),
+            (4, "b", None),
+            (5, "a", 10.0),
+        ],
+        "id long, cat string, val double",
+    )
+
+
+def test_column_profile_values(frame):
+    got = {r["column"]: r for r in column_profile(frame, ["cat", "val"]).collect()}
+    cat = got["cat"]
+    assert (cat["n_non_null"], cat["n_null"], cat["n_distinct"]) == (4, 1, 2)
+    assert (cat["min_value"], cat["max_value"]) == ("a", "b")
+    val = got["val"]
+    assert (val["n_non_null"], val["n_null"], val["n_distinct"]) == (4, 1, 3)
+    assert float(val["min_value"]) == 10.0 and float(val["max_value"]) == 30.0
+
+
+def test_column_profile_single_scan(frame):
+    """All columns profile in ONE pass -- the plan reads the source once."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    tree = explain_formatted(column_profile(frame, ["id", "cat", "val"])).split("\n\n")[0]
+    assert tree.count("Scan ") == 1
+
+
+def test_histogram_buckets_and_edges(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    rows = numeric_histogram(df, "x", n_buckets=10).collect()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert sum(r["n"] for r in rows) == 100
+    # v=99 (the max) closes into the last bucket, not an 11th
+    assert rows[-1]["n"] == 10
+    assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == 99.0
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    rows = numeric_histogram(df, "x", n_buckets=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 0 and rows[0]["n"] == 2  # nulls excluded
+    with pytest.raises(ValueError, match="n_buckets"):
+        numeric_histogram(df, "x", n_buckets=0)
+
+
+def test_skew_report_hand_computed(spark):
+    rows = [("hot", i) for i in range(90)] + [("c1", 0), ("c2", 0), ("c3", 0)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    r = key_skew_report(df, ["k"]).collect()[0]
+    assert r["total_rows"] == 93 and r["n_keys"] == 4
+    assert r["max_key_rows"] == 90
+    assert r["mean_key_rows"] == pytest.approx(93 / 4)
+    assert r["skew_ratio"] == pytest.approx(90 * 4 / 93)
+    assert r["top_key"] == "hot"
+
+
+def test_skew_report_tie_breaks_on_key(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 1)], "k string, v long")
+    assert key_skew_report(df, ["k"]).collect()[0]["top_key"] == "b"
