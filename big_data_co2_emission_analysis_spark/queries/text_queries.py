@@ -1020,3 +1020,35 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_chars", F.round("sample_key", 6).alias("sample_key")
     ).orderBy("lang", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Real BPE tokenization (operators/bpe.py): merge table trained on a
+# bounded driver sample (deterministic merge order), distributed
+# Arrow-batched encode.  BPE application isn't SQL-expressible ->
+# rows-only by the driver contract; the merge algorithm itself is
+# hand-verified against the textbook example in tests/test_bpe.py.
+# --------------------------------------------------------------------------
+@register("bpe_token_stats", oracle=None, tags=("text", "tokenize"))
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts vs whitespace word counts: the
+    compression a 200-merge vocabulary achieves on the fixture corpus
+    (merge table trained once on <=2000 sampled docs, broadcast)."""
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, num_merges=200, sample_docs=2000)
+    enc = bpe_encode(docs, merges)
+    words = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_words")
+    )
+    return (
+        enc.join(words, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words")).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
