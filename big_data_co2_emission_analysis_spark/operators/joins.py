@@ -163,3 +163,33 @@ def range_join_banded(
         & (F.col(left_val) < F.col(right_hi))
     )
     return l_b.join(r_b, cond, how).drop("__bucket")
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    max_salts: int = 64,
+    skew_threshold: float = 4.0,
+) -> DataFrame:
+    """Measure-then-decide salting: run the key-skew report on the left
+    side (ONE control-plane aggregate action -- the same scan the join
+    would do anyway, reduced to a single summary row), and only salt
+    when ``skew_ratio`` (max/mean rows per key) exceeds
+    ``skew_threshold``; the salt count scales with the measured ratio,
+    capped at ``max_salts``.  Below the threshold the plain equi-join
+    runs -- no right-side inflation paid when the data isn't skewed.
+
+    This is the profiling family (operators/profiling.py) feeding a
+    physical-plan decision: at 100 TB you run the report once on the
+    (cheap, projected) key column, not on a hunch.
+    """
+    from .profiling import key_skew_report
+
+    report = key_skew_report(left.select(*on), on).collect()[0]
+    ratio = report["skew_ratio"] or 1.0
+    if ratio <= skew_threshold:
+        return left.join(right, on=on, how=how)
+    num_salts = min(max_salts, max(2, int(ratio)))
+    return salted_join(left, right, on=on, num_salts=num_salts, how=how)

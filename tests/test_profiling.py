@@ -76,3 +76,30 @@ def test_skew_report_hand_computed(spark):
 def test_skew_report_tie_breaks_on_key(spark):
     df = spark.createDataFrame([("a", 1), ("b", 1)], "k string, v long")
     assert key_skew_report(df, ["k"]).collect()[0]["top_key"] == "b"
+
+
+def test_auto_salted_join_decides_from_measured_skew(spark):
+    """Below the threshold: plain join (no __salt machinery, no
+    right-side explode). Above: salted, and results equal the plain
+    join either way."""
+    from big_data_co2_emission_analysis_spark.operators.joins import auto_salted_join
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    uniform = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "k long, v long"
+    )
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(95)] + [(j, 0) for j in range(1, 6)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k long, name string")
+
+    plain_plan = explain_formatted(auto_salted_join(uniform, dim, ["k"]))
+    assert "Generate" not in plain_plan  # no explode -> not salted
+
+    salted_plan = explain_formatted(auto_salted_join(hot, dim, ["k"]))
+    assert "Generate" in salted_plan  # explode of the salt sequence
+
+    want = {tuple(r) for r in hot.join(dim, "k").collect()}
+    got = {tuple(r) for r in auto_salted_join(hot, dim, ["k"]).collect()}
+    assert got == want
