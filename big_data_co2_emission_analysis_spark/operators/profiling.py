@@ -21,17 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def column_profile(
+    df: DataFrame, cols: list[str], approx_distinct: bool = False
+) -> DataFrame:
     """One row per column: count, nulls, distinct, min/max (stringified
     so mixed-type columns stack into one long frame).  Single scan --
-    all columns profile in ONE aggregate (count_distinct per column
-    adds expand-style partials, still one pass over the data)."""
+    all columns profile in ONE aggregate.
+
+    ``approx_distinct=True`` is the 100 TB path: exact per-column
+    ``count_distinct`` expands the input once per profiled column
+    before the shuffle (Spark's multi-distinct rewrite), so K exact
+    ndvs cost a K-fold Expand; ``approx_count_distinct`` (HLL++, 5%
+    default error) keeps the aggregate a plain single-pass partial+
+    final with O(K) sketch state.  The exact mode is the oracle-checked
+    default at fixture scale."""
+    ndv = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            ndv(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]

@@ -103,3 +103,26 @@ def test_auto_salted_join_decides_from_measured_skew(spark):
     want = {tuple(r) for r in hot.join(dim, "k").collect()}
     got = {tuple(r) for r in auto_salted_join(hot, dim, ["k"]).collect()}
     assert got == want
+
+
+def test_column_profile_approx_mode(frame):
+    """approx_distinct: same frame shape, ndv within HLL++ tolerance,
+    and the plan has no Expand (the exact multi-distinct rewrite)."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    exact = {r["column"]: r for r in column_profile(frame, ["cat", "val"]).collect()}
+    approx = {
+        r["column"]: r
+        for r in column_profile(frame, ["cat", "val"], approx_distinct=True).collect()
+    }
+    for c in exact:
+        assert approx[c]["n_non_null"] == exact[c]["n_non_null"]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
+            1, int(0.1 * exact[c]["n_distinct"])
+        )
+    tree = explain_formatted(
+        column_profile(frame, ["id", "cat", "val"], approx_distinct=True)
+    ).split("\n\n")[0]
+    assert "Expand" not in tree
+    exact_tree = explain_formatted(column_profile(frame, ["id", "cat", "val"])).split("\n\n")[0]
+    assert "Expand" in exact_tree  # the cost approx mode avoids
