@@ -470,3 +470,67 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def streaming_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+) -> "object":
+    """Maintain a CURRENT-STATE parquet table from a stream via
+    foreachBatch + merge_upsert (operators/merge.py): each microbatch
+    upserts into the target -- last event per key (by ``order_col``)
+    wins, unseen keys insert, existing keys update.
+
+    Crash-safety shape: the merge output writes to a ``__stage``
+    sibling directory, and only then swaps into the target (write-
+    ahead-then-swap, the same pattern as compact_parquet).  A batch
+    that re-runs after a crash between swap and checkpoint commit
+    re-merges the SAME batch into the already-merged target -- which
+    is idempotent, because upserting identical (key, value) rows again
+    changes nothing.  That turns foreachBatch's at-least-once into
+    effective exactly-once for the table state (unit-tested replay).
+
+    Scale: each microbatch pays one full-outer key shuffle against the
+    current table -- the standard CDC-materialization cost; bucket the
+    target (write_bucketed) to take the target-side exchange out.
+    Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # de-dup the batch to one row per key (last by order_col): a
+        # microbatch can carry several updates for one key
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.desc(order_col))
+        batch_latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(
+                target, batch_latest, keys=keys, on_duplicate_source="assume_unique"
+            )
+        else:
+            merged = batch_latest
+        stage = target_path + "__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.rename(stage, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
