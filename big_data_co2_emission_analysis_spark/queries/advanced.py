@@ -1578,3 +1578,58 @@ def try_divide_tax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval x interval overlap join (operators/joins.py
+# interval_overlap_join): both sides are time RANGES (purchase
+# lookback windows x click attention windows), banded onto a grid so
+# the physical plan is a hash equi-join on (user, cell) with the exact
+# overlap predicate as a residual -- the oracle is the plain theta
+# join producing identical pairs.
+# --------------------------------------------------------------------------
+@register(
+    "interval_overlap_attribution",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(p.ts) - 3600000000 <= epoch_us(c.ts) + 600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    ORDER BY p_event_id, c_event_id
+    """,
+    tags=("join", "interval"),
+)
+def interval_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style overlap: each purchase's 1-hour lookback
+    interval joined to each click's 10-minute attention interval for
+    the same user; a pair matches when the intervals overlap."""
+    from ..operators.joins import interval_overlap_join
+    from ..sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        (us - F.lit(3_600_000_000)).alias("p_start"),
+        us.alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        "user_id",
+        us.alias("c_start"),
+        (us + F.lit(600_000_000)).alias("c_end"),
+    )
+    pairs = interval_overlap_join(
+        purchases,
+        clicks,
+        "p_start",
+        "p_end",
+        "c_start",
+        "c_end",
+        band_width=3_600_000_000,  # W ~ the longer interval: ~2x replication
+        by_cols=["user_id"],
+    )
+    return pairs.select("p_event_id", "c_event_id").orderBy("p_event_id", "c_event_id")

@@ -148,3 +148,75 @@ def test_assume_unique_skips_guard_exchange(spark, tables):
     # semantics unchanged on a unique-key source
     out = _rows(merge_upsert(target, source, ["k"], on_duplicate_source="assume_unique"))
     assert out == _rows(merge_upsert(target, source, ["k"]))
+
+
+# -- interval overlap join (operators/joins.py) ----------------------------
+
+
+def test_interval_overlap_matches_naive(spark):
+    """Banded result == naive theta-join filter, for intervals that
+    span multiple cells, share boundaries exactly, or nest."""
+    import random
+
+    from big_data_co2_emission_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(3)
+    lrows = [
+        ("L%d" % i, "u%d" % (i % 3), float(s), float(s + rng.randint(0, 50)))
+        for i, s in enumerate(rng.sample(range(0, 500), 40))
+    ]
+    rrows = [
+        ("R%d" % i, "u%d" % (i % 3), float(s), float(s + rng.randint(0, 30)))
+        for i, s in enumerate(rng.sample(range(0, 500), 40))
+    ]
+    left = spark.createDataFrame(lrows, "lid string, u string, ls double, le double")
+    right = spark.createDataFrame(rrows, "rid string, u string, rs double, re double")
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", band_width=16.0, by_cols=["u"]
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(right, "u")
+        .filter("ls <= re AND rs <= le")
+        .collect()
+    }
+    assert got == naive and got  # equal and non-trivial
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    """A pair overlapping MANY shared cells must emit exactly once
+    (canonical-cell dedup, no distinct)."""
+    from big_data_co2_emission_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([("L", 0.0, 100.0)], "lid string, ls double, le double")
+    right = spark.createDataFrame([("R", 10.0, 90.0)], "rid string, rs double, re double")
+    rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", band_width=5.0
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_interval_overlap_plan_is_equi_join(spark):
+    from big_data_co2_emission_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    left = spark.createDataFrame([("L", "u", 0.0, 10.0)], "lid string, u string, ls double, le double")
+    right = spark.createDataFrame([("R", "u", 5.0, 15.0)], "rid string, u string, rs double, re double")
+    plan = explain_formatted(
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", 8.0, by_cols=["u"])
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="band_width"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", 0)
