@@ -79,6 +79,7 @@ HEADLINE = [
     "merge_orders_upsert",
     "user_daily_gap_locf",
     "user_value_twa",
+    "interval_overlap_attribution",
     # co-located (bucketed) join: table build is in warm-up, the timed
     # query shows the exchange-free join payoff
     "bucketed_priority_revenue",
