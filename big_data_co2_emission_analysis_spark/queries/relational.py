@@ -999,3 +999,119 @@ def approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Product-analytics shapes over events: ordered funnel + retention
+# cohorts.  Both are pure join/agg compositions (no new operator) but
+# pin the ORDERED-progression and cohort-bucket semantics that ad-hoc
+# SQL gets subtly wrong (a funnel stage must happen AFTER the previous
+# stage's first occurrence, not merely co-exist).
+# --------------------------------------------------------------------------
+@register(
+    "event_funnel_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_view_click_purchase
+    """,
+    tags=("funnel", "datetime", "agg"),
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-stage funnel (view -> click -> purchase):
+    each stage counts users whose stage event happened AFTER their
+    first previous-stage event.  Three key-shuffled aggregates, each
+    over a shrinking user set."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .join(s2.agg(F.count("*").alias("n_view_click")))
+        .join(s3.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("cohort", "datetime", "agg"),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active per subsequent week offset.  Two aggregates +
+    one user-keyed join; the matrix is |cohorts| x |weeks| rows."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            # cast("timestamp") first: a micros-encoded fixture surfaces
+            # ts as TIMESTAMP_NTZ, which unix_timestamp rejects; the cast
+            # is a no-op under the pinned-UTC session (see read_events)
+            (
+                (
+                    F.unix_timestamp(F.col("week").cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+                ) / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
