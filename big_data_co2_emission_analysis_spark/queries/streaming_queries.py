@@ -324,3 +324,78 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("p_event_id", "c_ts")
     )
+
+
+@register(
+    "streaming_interval_join_full",
+    # Symmetric finalized-region check (same technique as the LEFT
+    # OUTER variant): BOTH sides' null-emissions require their state to
+    # have provably expired.  With two watermarked inputs Spark's
+    # global watermark is the MIN of the per-side watermarks
+    # (multipleWatermarkPolicy=min), and each side's watermark derives
+    # from ITS OWN max event time -- so the finalized region is bounded
+    # by the SMALLER side's max (purchases are rarer than clicks),
+    # minus watermark + lookback + margin.
+    oracle="""
+    WITH cut AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+             ) - INTERVAL '3 hours 1 minute' AS c
+    )
+    SELECT p.event_id AS p_event_id,
+           COALESCE(p.user_id, c2.user_id) AS user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           c2.event_id AS c_event_id,
+           STRFTIME(c2.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+           c2.value AS c_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c2
+      ON p.user_id = c2.user_id
+     AND c2.ts >= p.ts - INTERVAL 1 HOUR AND c2.ts <= p.ts
+    WHERE (p.ts IS NULL OR p.ts < (SELECT c FROM cut))
+      AND (c2.ts IS NULL OR c2.ts < (SELECT c FROM cut))
+    ORDER BY p_event_id NULLS FIRST, c_event_id NULLS FIRST
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join run to completion:
+    unmatched purchases AND unmatched clicks both emit their NULL
+    counterpart columns once the watermark proves no match can still
+    arrive; compared on the symmetric watermark-finalized region."""
+    from ..sources.readers import read_events
+    from ..streaming.windows import stream_stream_interval_join_full
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(
+        stream_stream_interval_join_full(stream), output_mode="append"
+    )
+    events = read_events(spark, sf_dir)
+    cutoff = events.filter(F.col("event_type").isin("purchase", "click")).groupBy().agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+            - F.expr("INTERVAL '3 hours 1 minute'")
+        ).alias("cut")
+    )
+    return (
+        result.join(F.broadcast(cutoff))
+        .filter(
+            (F.col("p_ts").isNull() | (F.col("p_ts") < F.col("cut")))
+            & (F.col("c_ts").isNull() | (F.col("c_ts") < F.col("cut")))
+        )
+        .select(
+            "p_event_id",
+            F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+            "c_event_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+            "c_value",
+        )
+        .orderBy(
+            F.col("p_event_id").asc_nulls_first(), F.col("c_event_id").asc_nulls_first()
+        )
+    )

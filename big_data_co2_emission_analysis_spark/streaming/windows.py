@@ -200,6 +200,45 @@ def stream_stream_interval_join_outer(
     )
 
 
+def stream_stream_interval_join_full(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: unmatched PURCHASES emit
+    with NULL click columns AND unmatched CLICKS emit with NULL
+    purchase columns, each once its side's watermark proves no match
+    can still arrive.  Both sides carry watermarks + the time-range
+    predicate (the state-expiry requirement is strictest for full
+    outer: neither side's state can be dropped early without losing a
+    null-emission).  Clicks keep their event id so unmatched click
+    rows are identifiable."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user_id = c_user_id AND c_ts >= p_ts - INTERVAL {lookback} AND c_ts <= p_ts"
+        ),
+        "fullOuter",
+    )
+
+
 def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: first arrival per key wins, duplicates
     drop for as long as their key stays in the state store.  The
