@@ -225,3 +225,104 @@ def test_exact_quantiles_match_numpy_linear(spark, vals, q):
     for k, xs in by_key.items():
         want = float(np.quantile(np.array(xs), q, method="linear"))
         assert got[k] == pytest.approx(want, rel=1e-12, abs=1e-9), (k, xs, q)
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 1),                 # key
+            st.integers(0, 25),                # day offset
+            st.floats(-1e4, 1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    method=st.sampled_from(["locf", "linear"]),
+)
+@settings(**_SETTINGS)
+def test_gap_fill_matches_python_reference(spark, series, method):
+    """gap_fill == a sequential pure-Python fill for any sparse series
+    and either method (spine extent, fill values, observed flags)."""
+    from big_data_co2_emission_analysis_spark.operators.timeseries import gap_fill
+
+    rows = [(str(k), datetime(2024, 2, 1) + timedelta(days=d), v) for k, d, v in series]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    got = {
+        (r["k"], r["bucket"].day + (r["bucket"].month - 2) * 29): (
+            r["filled"],
+            r["observed"],
+        )
+        for r in gap_fill(df, ["k"], "bucket", "1 DAY", "v", method=method).collect()
+    }
+
+    by_key: dict = {}
+    for k, d, v in series:
+        by_key.setdefault(str(k), {})[d] = v
+    want = {}
+    for k, obs in by_key.items():
+        lo, hi = min(obs), max(obs)
+        days = list(range(lo, hi + 1))
+        for d in days:
+            if d in obs:
+                want[(k, d + 1)] = (obs[d], True)
+            elif method == "locf":
+                prev = max(x for x in obs if x < d)
+                want[(k, d + 1)] = (obs[prev], False)
+            else:
+                prevs = [x for x in obs if x < d]
+                nexts = [x for x in obs if x > d]
+                p, n = max(prevs), min(nexts)
+                frac = (d - p) / (n - p)
+                want[(k, d + 1)] = (obs[p] + (obs[n] - obs[p]) * frac, False)
+    assert set(got) == set(want)
+    for key in want:
+        wv, wo = want[key]
+        gv, go = got[key]
+        assert go == wo, key
+        assert gv == pytest.approx(wv, rel=1e-12, abs=1e-9), key
+
+
+@given(
+    lspans=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1,
+        max_size=15,
+    ),
+    rspans=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([1.0, 7.0, 16.0, 100.0]),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_matches_naive_property(spark, lspans, rspans, width):
+    """Banded interval_overlap_join == naive theta join for any
+    interval sets and any band width (including W far larger / smaller
+    than the intervals)."""
+    from big_data_co2_emission_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, float(s), float(s + l)) for i, (s, l) in enumerate(lspans)],
+        "lid int, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(s), float(s + l)) for i, (s, l) in enumerate(rspans)],
+        "rid int, rs double, re double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", band_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (s1, l1) in enumerate(lspans)
+        for j, (s2, l2) in enumerate(rspans)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    }
+    assert got == want
