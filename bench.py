@@ -196,7 +196,10 @@ def main() -> None:
         "queries": {k: times[k] for k in slowest3},
     }
     line = json.dumps(compact)
-    assert len(line) < 1000, f"final bench line must stay tail-parseable, got {len(line)}B"
+    if len(line) >= 1000:  # not assert: -O would strip the guard
+        raise RuntimeError(
+            f"final bench line must stay tail-parseable (<1000B), got {len(line)}B"
+        )
     print(line)
 
 

@@ -81,10 +81,23 @@ def merge_upsert(
             F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
             F.lit(")"),
         )
+        dup_cond = F.col("__dup") > 1
+        if not null_safe_keys:
+            # Under SQL/Delta semantics a NULL key never matches a
+            # target row, so duplicate NULL-key source rows are NOT
+            # ambiguous -- each simply inserts.  (Delta's error fires
+            # only when multiple source rows match the same TARGET
+            # row.)  Only all-non-null keys can match, so only they
+            # arm the guard; with null_safe_keys=True NULL is a
+            # joinable entity and stays guarded.
+            non_null_keys = F.lit(True)
+            for k in keys:
+                non_null_keys = non_null_keys & F.col(k).isNotNull()
+            dup_cond = dup_cond & non_null_keys
         src = source.withColumn("__dup", F.count("*").over(wc)).select(
             *[
                 (
-                    F.when(F.col("__dup") > 1, F.raise_error(guard_msg).cast(k0_type))
+                    F.when(dup_cond, F.raise_error(guard_msg).cast(k0_type))
                     .otherwise(F.col(k0))
                     .alias(k0)
                     if c == k0

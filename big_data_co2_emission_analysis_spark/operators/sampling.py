@@ -166,8 +166,12 @@ def _portable_uniform(id_col, seed: int):
     mode never overflows).  The SAME formula runs verbatim in any SQL
     engine -- that portability is the point; Spark's per-partition RNG
     streams would make the sample partitioning-dependent and
-    un-oracle-able."""
-    h1 = (F.lit(_LCG_A) * (id_col % _LCG_M) + F.lit(int(seed) % _LCG_M)) % _LCG_M
+    un-oracle-able.  ``pmod`` (not ``%``) folds the id into [0, M):
+    Spark's ``%`` keeps the dividend's sign, so a negative id would
+    yield u <= 0, NULL ``log(u)``, and a NULL sample key that sorts
+    NULLS FIRST -- deterministically winning the sample regardless of
+    weight.  The SQL twin is ``((id % M) + M) % M``."""
+    h1 = (F.lit(_LCG_A) * F.pmod(id_col, F.lit(_LCG_M)) + F.lit(int(seed) % _LCG_M)) % _LCG_M
     h2 = (F.lit(_LCG_A) * h1 + F.lit(_LCG_C)) % _LCG_M
     return (h2.cast("double") + 1.0) / float(_LCG_M + 1)
 

@@ -990,7 +990,7 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             -LN((((48271 * ((48271 * (doc_id % 2147483647) + 42) % 2147483647)
+             -LN((((48271 * ((48271 * (((doc_id % 2147483647) + 2147483647) % 2147483647) + 42) % 2147483647)
                     + 12820163) % 2147483647) + 1.0) / 2147483648.0)
                / CAST(n_chars AS DOUBLE) AS sample_key
       FROM documents

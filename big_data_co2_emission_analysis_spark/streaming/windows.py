@@ -406,6 +406,16 @@ def stream_scd2_merge(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        tmp, old = dim_path.rstrip("/") + ".merging", dim_path.rstrip("/") + ".old"
+        # Crash recovery BEFORE reading the dim: a crash between
+        # rename(dim, old) and rename(tmp, dim) leaves no dim dir but a
+        # complete ``old`` backup -- restore it, else the replayed batch
+        # would silently rebuild the dim from itself alone.  A stale
+        # ``tmp`` from an interrupted write is discarded (the batch
+        # replays and rewrites it).
+        if not os.path.exists(dim_path) and os.path.exists(old):
+            os.rename(old, dim_path)
+        shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(dim_path):
             dim = spark.read.parquet(dim_path)
         else:  # empty dim with (keys..., attrs..., valid_from, valid_to)
@@ -415,7 +425,6 @@ def stream_scd2_merge(
                 .withColumn("valid_to", F.col(ts_col))
             )
         merged = scd2_apply(dim, batch_df, key_cols, ts_col, order_cols)
-        tmp, old = dim_path.rstrip("/") + ".merging", dim_path.rstrip("/") + ".old"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dim_path):
@@ -517,6 +526,7 @@ def streaming_upsert_sink(
     keys: list[str],
     order_col: str,
     checkpoint_dir: str,
+    fault_injector=None,
 ) -> "object":
     """Maintain a CURRENT-STATE parquet table from a stream via
     foreachBatch + merge_upsert (operators/merge.py): each microbatch
@@ -524,13 +534,22 @@ def streaming_upsert_sink(
     wins, unseen keys insert, existing keys update.
 
     Crash-safety shape: the merge output writes to a ``__stage``
-    sibling directory, and only then swaps into the target (write-
-    ahead-then-swap, the same pattern as compact_parquet).  A batch
-    that re-runs after a crash between swap and checkpoint commit
-    re-merges the SAME batch into the already-merged target -- which
-    is idempotent, because upserting identical (key, value) rows again
-    changes nothing.  That turns foreachBatch's at-least-once into
-    effective exactly-once for the table state (unit-tested replay).
+    sibling directory, then the live target is renamed aside to
+    ``__old`` and the stage renamed in (never rmtree-then-rename: a
+    crash between those two would leave NO target, and the replayed
+    batch would silently rebuild the table from itself alone).  Every
+    torn state is recovered at batch start: target missing + ``__old``
+    present => restore the backup; stale ``__stage`` => discard (the
+    checkpoint replays the batch).  A batch that re-runs after a crash
+    between swap and checkpoint commit re-merges the SAME batch into
+    the already-merged target -- idempotent, because upserting
+    identical (key, value) rows again changes nothing.  That turns
+    foreachBatch's at-least-once into effective exactly-once for the
+    table state (unit-tested replay + torn-swap chaos test).
+
+    ``fault_injector(batch_id, point)`` is a test-only hook called at
+    the named crash points (``"post_stage"``, ``"post_backup"``) so
+    tests can kill the query mid-swap and assert recovery.
 
     Scale: each microbatch pays one full-outer key shuffle against the
     current table -- the standard CDC-materialization cost; bucket the
@@ -542,8 +561,15 @@ def streaming_upsert_sink(
 
     from ..operators.merge import merge_upsert
 
+    stage = target_path + "__stage"
+    backup = target_path + "__old"
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # crash recovery BEFORE reading the target (see docstring)
+        if not os.path.exists(target_path) and os.path.exists(backup):
+            os.rename(backup, target_path)
+        shutil.rmtree(stage, ignore_errors=True)
         # de-dup the batch to one row per key (last by order_col): a
         # microbatch can carry several updates for one key
         from pyspark.sql import Window as W
@@ -561,11 +587,16 @@ def streaming_upsert_sink(
             )
         else:
             merged = batch_latest
-        stage = target_path + "__stage"
         merged.write.mode("overwrite").parquet(stage)
+        if fault_injector is not None:
+            fault_injector(batch_id, "post_stage")
+        shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.rename(target_path, backup)
+        if fault_injector is not None:
+            fault_injector(batch_id, "post_backup")
         os.rename(stage, target_path)
+        shutil.rmtree(backup, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_merge_batch)

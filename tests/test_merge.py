@@ -78,6 +78,30 @@ def test_duplicate_source_keys_raise(spark, tables):
     assert "multiple source rows" in str(e.value)
 
 
+def test_duplicate_null_keys_do_not_raise(spark, tables):
+    """Under null_safe_keys=False a NULL key never matches a target
+    row, so duplicate NULL-key source rows are unambiguous (each
+    inserts) -- the 'error' guard must NOT fire (Delta's error fires
+    only for multiple source rows matching one TARGET row)."""
+    target, _ = tables
+    dup_null = spark.createDataFrame(
+        [(None, "A", 1.0), (None, "B", 2.0), (4, "O", 40.0)], SCHEMA
+    )
+    out = _rows(merge_upsert(target, dup_null, ["k"]))
+    assert (None, "A", 1.0) in out and (None, "B", 2.0) in out
+    assert (4, "O", 40.0) in out
+
+
+def test_duplicate_null_keys_raise_when_null_safe(spark, tables):
+    """With null_safe_keys=True NULL is ONE joinable entity, so two
+    NULL-key source rows ARE ambiguous and the guard fires."""
+    target, _ = tables
+    dup_null = spark.createDataFrame([(None, "A", 1.0), (None, "B", 2.0)], SCHEMA)
+    with pytest.raises(Exception) as e:
+        merge_upsert(target, dup_null, ["k"], null_safe_keys=True).collect()
+    assert "multiple source rows" in str(e.value)
+
+
 def test_duplicate_first_policy_deterministic(spark, tables):
     target, _ = tables
     dup = spark.createDataFrame(

@@ -334,3 +334,62 @@ def test_streaming_upsert_sink_replay_idempotent(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     second = sorted(tuple(r) for r in spark.read.parquet(target).collect())
     assert first == second == [(1, 20, "b"), (2, 5, "c")]
+
+
+@pytest.mark.parametrize("crash_point", ["post_stage", "post_backup"])
+def test_streaming_upsert_sink_torn_swap_recovery(spark, tmp_path, crash_point):
+    """Chaos test: kill the query INSIDE the foreachBatch swap (after
+    the stage write / after the target is renamed aside), restart from
+    the same checkpoint, and assert no previously merged state is lost.
+    The ``post_backup`` point is exactly the window the old
+    rmtree-then-rename implementation lost the whole table in."""
+    import os
+
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        streaming_upsert_sink,
+    )
+
+    schema = "user_id long, ts long, v string"
+    src_dir = str(tmp_path / "src")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 5, "c")], schema
+    ).write.mode("overwrite").parquet(src_dir)
+
+    def run(injector=None):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = streaming_upsert_sink(
+            stream, target, keys=["user_id"], order_col="ts",
+            checkpoint_dir=ck, fault_injector=injector,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run()  # batch 0 merges cleanly
+    assert os.path.exists(target)
+
+    # new files -> a second microbatch, which crashes mid-swap
+    spark.createDataFrame(
+        [(1, 20, "b"), (3, 7, "d")], schema
+    ).write.mode("append").parquet(src_dir)
+
+    def boom(batch_id, point):
+        if point == crash_point:
+            raise RuntimeError(f"injected crash at {point}")
+
+    with pytest.raises(Exception):
+        run(injector=boom)
+    if crash_point == "post_backup":
+        # the torn window: no live target, only the __old backup
+        assert not os.path.exists(target)
+        assert os.path.exists(target + "__old")
+
+    run()  # restart: recovery + checkpoint replay of the failed batch
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert got == [(1, 20, "b"), (2, 5, "c"), (3, 7, "d")]
+    assert not os.path.exists(target + "__old")
+    assert not os.path.exists(target + "__stage")

@@ -165,3 +165,24 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
 
     with _pt.raises(ValueError, match="k must be positive"):
         weighted_sample_k(df, ["grp"], "id", "w", k=0)
+
+
+def test_weighted_sample_negative_ids_are_fair(spark):
+    """Negative ids must draw a real uniform (pmod, not %): before the
+    fix they produced u <= 0 -> NULL log -> NULL sample_key, which
+    sorts NULLS FIRST and deterministically wins regardless of weight."""
+    from big_data_co2_emission_analysis_spark.operators.sampling import weighted_sample_k
+
+    # 5 negative-id rows with NEGLIGIBLE weight among 100 heavy rows:
+    # if negative ids were privileged they would sweep the sample
+    rows = [(-i, "g", 0.0001) for i in range(1, 6)] + [
+        (i, "g", 100.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_k(df, ["grp"], "id", "w", k=10)
+    assert out.filter(F.col("sample_key").isNull()).count() == 0
+    picked = [r["id"] for r in out.collect()]
+    assert sum(1 for i in picked if i < 0) <= 1  # not privileged
+    # and still partitioning-invariant with negatives present
+    again = [r["id"] for r in weighted_sample_k(df.repartition(7), ["grp"], "id", "w", k=10).collect()]
+    assert sorted(picked) == sorted(again)
