@@ -19,15 +19,18 @@ every column of every row, so map-only queries (simhash, doc_stats,
 embedding_norms) can't be pruned down to a bare row count the way
 `df.count()` let Catalyst do.
 
-Each query runs TWICE: the first (cold) run includes Catalyst
-analysis, whole-stage-codegen compilation, and JVM JIT of the
-generated classes -- one-time costs that measured 2-5x the steady
-state (scd2: 14.9s cold vs 2.9s steady at sf0.1).  The headline
-metric is the warm run, the per-query steady state a resident engine
-delivers; cold numbers are reported alongside under "queries_cold".
-`spark.catalog.clearCache()` runs between the two so any
-operator-internal persist (e.g. the banded-LSH shingle base) is
-recomputed in the timed run -- warm means warm CODE, not warm data.
+Each query runs once COLD (Catalyst analysis + whole-stage-codegen
+compilation + JVM JIT -- one-time costs that measured 2-5x steady
+state; scd2: 14.9s cold vs 2.9s steady at sf0.1), then
+$SPARK_GRAFT_BENCH_ITERS (default 3) WARM iterations.  The headline
+per-query number is the warm MEDIAN (round-4 fix: single-shot warm
+numbers swung 2.3x round-over-round on unchanged code -- JIT/GC
+interleaving noise -- so medians are the only comparable statistic);
+all iterations plus the IQR go to BENCH_DETAIL.json under
+"queries_iters" / "queries_iqr".  `spark.catalog.clearCache()` runs
+between every iteration so any operator-internal persist (e.g. the
+banded-LSH shingle base) is recomputed in each timed run -- warm
+means warm CODE, not warm data.
 """
 
 from __future__ import annotations
@@ -150,8 +153,11 @@ def main() -> None:
     ann_pq_top10(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     qs = all_queries()
+    n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     times: dict[str, float] = {}
     cold_times: dict[str, float] = {}
+    iter_times: dict[str, list[float]] = {}
+    iqrs: dict[str, float] = {}
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -160,14 +166,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
     for name in HEADLINE:
         cold_times[name] = run(name)
-        # drop operator-internal persisted data so the warm run redoes
-        # ALL data work and only reuses compiled code
+        iters = []
+        for _ in range(n_iters):
+            # drop operator-internal persisted data so every warm run
+            # redoes ALL data work and only reuses compiled code
+            spark.catalog.clearCache()
+            iters.append(run(name))
         spark.catalog.clearCache()
-        times[name] = run(name)
-        spark.catalog.clearCache()
-        print(f"# {name}: warm={times[name]:.3f}s cold={cold_times[name]:.3f}s", file=sys.stderr)
+        iter_times[name] = iters
+        times[name] = median(iters)
+        lo, hi = sorted(iters)[len(iters) // 4], sorted(iters)[-1 - len(iters) // 4]
+        iqrs[name] = round(hi - lo, 3)
+        print(
+            f"# {name}: warm_median={times[name]:.3f}s iters={iters} cold={cold_times[name]:.3f}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     detail = {
@@ -176,6 +196,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_cold": cold_times,
+        "queries_iters": iter_times,
+        "queries_iqr": iqrs,
+        "warm_iters_per_query": n_iters,
         "sf": float(sf),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
