@@ -49,6 +49,7 @@ def concat_split_pack(
     n_tokens_col: str,
     budget: int,
     num_partitions: int | None = None,
+    max_control_rows: int = 1_000_000,
 ) -> DataFrame:
     """Packing manifest: ``(seq_id, <id_col>, doc_offset, tokens_in_seq,
     seq_offset)``, one row per (document piece, training sequence).
@@ -56,6 +57,11 @@ def concat_split_pack(
     ``id_col`` must be unique (it defines the concatenation order);
     rows with ``n_tokens_col <= 0`` are dropped (they contribute no
     tokens).  ``budget`` is the fixed sequence length in tokens.
+
+    ``max_control_rows`` bounds the driver-side exclusive scan: one row
+    per partition, so it only trips if a caller requests a pathological
+    partition count -- but then it raises with the cause instead of
+    collecting millions of rows (the ``pq_search`` guard pattern).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -67,6 +73,22 @@ def concat_split_pack(
     else:
         base = base.repartitionByRange("_id")
     base = base.withColumn("_pid", F.spark_partition_id())
+    # partition count without touching .rdd (which would run the range
+    # sampler early): explicit arg, else the session shuffle default
+    if num_partitions is not None:
+        n_parts = num_partitions
+    else:
+        try:
+            n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" on some builds
+            n_parts = 0
+    if n_parts > max_control_rows:
+        raise ValueError(
+            f"concat_split_pack control plane would collect {n_parts} "
+            f"per-partition totals > max_control_rows={max_control_rows}; "
+            "lower num_partitions (the scan needs one row per partition, "
+            "not per document) or raise max_control_rows explicitly."
+        )
 
     # P-row driver collect: one number per partition, NOT per row -- the
     # standard exclusive-scan step of a distributed prefix sum.

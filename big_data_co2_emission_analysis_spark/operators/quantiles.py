@@ -40,6 +40,7 @@ def exact_quantiles(
     qs: list[float],
     num_partitions: int | None = None,
     materialize: bool = True,
+    max_control_rows: int = 1_000_000,
 ) -> DataFrame:
     """``(key, q, value)`` with one row per key per requested quantile;
     ``value`` is linearly interpolated between the two bracketing order
@@ -53,7 +54,16 @@ def exact_quantiles(
     and returns an eagerly local-checkpointed result.  Pass ``False``
     ONLY to inspect the un-truncated logical plan -- in that mode the
     returned frame re-executes the range exchange on collection, which
-    can re-sample different partition boundaries than the counts job."""
+    can re-sample different partition boundaries than the counts job.
+
+    ``max_control_rows`` bounds the driver-side control plane: the
+    per-(partition, key) counts collect is partitions * keys rows, which
+    is tiny for the FEW-HUGE-GROUPS regime this operator targets but
+    unbounded if a caller passes a high-cardinality key (then the
+    built-in per-group ``percentile``/``percentile_approx`` is the right
+    tool).  The count is checked with a cheap follow-on job BEFORE
+    collecting; breach raises rather than OOMs the driver (the
+    ``pq_search`` guard pattern, operators/similarity.py)."""
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile out of range: {q}")
@@ -79,8 +89,23 @@ def exact_quantiles(
         base = base.persist(StorageLevel.DISK_ONLY)
 
     # control plane: P*K rows to the driver (partitions x keys, not
-    # data); this collect also forces the persist above
-    counts = base.groupBy("_pid", "_k").agg(F.count("*").alias("_c")).collect()
+    # data).  Guard BEFORE collecting: the count job forces the persist
+    # above and is a tiny aggregate over it, so the re-run for collect
+    # is cheap; an unguarded collect of a high-cardinality key would
+    # OOM the driver instead of raising.
+    ctrl = base.groupBy("_pid", "_k").agg(F.count("*").alias("_c"))
+    n_ctrl = ctrl.count()
+    if n_ctrl > max_control_rows:
+        if materialize:
+            base.unpersist()
+        raise ValueError(
+            f"exact_quantiles control plane would collect {n_ctrl} "
+            f"(partition, key) rows > max_control_rows={max_control_rows}; "
+            "this operator targets few huge groups -- for high-cardinality "
+            "keys use the built-in percentile/percentile_approx (parallel "
+            "across groups), or raise max_control_rows explicitly."
+        )
+    counts = ctrl.collect()
     per_key_total: dict = {}
     for r in sorted(counts, key=lambda r: (str(r["_k"]), r["_pid"])):
         per_key_total[r["_k"]] = per_key_total.get(r["_k"], 0) + r["_c"]

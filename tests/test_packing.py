@@ -88,3 +88,19 @@ def test_doc_much_longer_than_budget_spans_many_sequences(spark):
         assert doc_off == pos
         pos += n
     assert pos == 5 * BUDGET + 64
+
+
+def test_control_plane_guard_raises_on_pathological_partitions(spark):
+    """The P-row exclusive scan must raise past max_control_rows (one
+    row per partition) instead of collecting millions of rows."""
+    import pytest
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="max_control_rows"):
+        concat_split_pack(
+            df, "doc_id", "n_tokens", BUDGET, num_partitions=1000, max_control_rows=100
+        )
+    # normal partition counts pass unchanged
+    assert concat_split_pack(
+        df, "doc_id", "n_tokens", BUDGET, num_partitions=8, max_control_rows=100
+    ).count() > 0

@@ -81,3 +81,18 @@ def test_materialized_result_survives_unpersist(spark):
     from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
 
     assert "Exchange" not in explain_formatted(out)
+
+
+def test_control_plane_guard_raises_on_high_cardinality_key(spark):
+    """P*K control collect must RAISE past max_control_rows, not OOM
+    the driver -- and must release the operator-internal persist."""
+    rows = [(i, float(i)) for i in range(500)]  # 500 distinct keys
+    df = spark.createDataFrame(rows, "k long, v double")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="max_control_rows"):
+        exact_quantiles(df, "k", "v", [0.5], num_partitions=4, max_control_rows=100)
+    # the failed call left nothing NEW pinned in the cache
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before
+    # same data passes when the cap accommodates P*K
+    out = exact_quantiles(df, "k", "v", [0.5], num_partitions=4, max_control_rows=5000)
+    assert out.count() == 500
