@@ -163,6 +163,39 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_connected_components_pathological_chain_converges_log_rounds(spark):
+    """A 200-node path graph has diameter 200: plain min-propagation
+    would need ~200 rounds, pointer jumping O(log) -- assert it
+    converges WELL under the diameter, and that stats_out reports the
+    rounds taken (pipeline-monitoring contract)."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, stats_out=stats).collect()}
+    assert got == {i: 0 for i in range(201)}
+    assert stats["converged"] is True
+    assert 1 < stats["rounds"] <= 15  # log-ish, nowhere near diameter 200
+
+
+def test_connected_components_iteration_cap_raises_loudly(spark):
+    """max_iterations must fail loudly with the cause named, and
+    stats_out must record the non-convergence."""
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    stats = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2, stats_out=stats)
+    assert stats == {"rounds": 2, "converged": False}
+
+
 def test_dedup_by_components_end_to_end(spark):
     """Full pipeline: banded MinHash pairs -> components -> one
     survivor per duplicate cluster, non-duplicates untouched."""
