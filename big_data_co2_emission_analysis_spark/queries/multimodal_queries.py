@@ -1,10 +1,22 @@
-"""Multimodal-column queries (rows-only: pixel decoding is not
-SQL-expressible; codec/resize semantics are unit-tested in
-tests/test_multimodal.py).  The fixture payloads are genuine BMPs and
-the decode/resize path operates on real pixels (operators/multimodal
-carries a from-scratch 24-bit BMP codec)."""
+"""Multimodal-column queries.
+
+Pixel decoding is not SQL-expressible, but every query here is a PURE
+FUNCTION of ``doc_id`` (fixture media is synthesized from the id and
+the codecs are deterministic), so each gets a real DuckDB oracle by
+joining the sf's documents table against a precomputed expected table
+(``fixtures/expected_multimodal/``, generated once through the same
+pixel-tested codec path by tools/gen_multimodal_expected.py).  The
+oracle therefore isolates exactly the DISTRIBUTED layer -- mapInPandas
+signatures, Arrow batching, explode fan-out, schema, partitioning --
+while the codec math itself is verified independently at pixel level
+(tests/test_multimodal.py, tests/test_jpeg.py).  The fixture payloads
+are genuine BMP/PNG/JPEG/WAV/Y4M bytes and the decode/resize path
+operates on real pixels (operators/multimodal carries from-scratch
+codecs)."""
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd  # module-level: pandas_udf resolves string hints in module globals
 from pyspark.sql import DataFrame, SparkSession
@@ -12,7 +24,18 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_media_columns, extract_features, sample_frames
 from ..sources.readers import read_documents
+from ._exact import davg, sql_davg
 from .registry import register
+
+#: precomputed expected tables (see module docstring); absolute path so
+#: the oracle SQL works from any cwd
+_EXPECTED = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "expected_multimodal")
+)
+
+
+def _expected(name: str) -> str:
+    return f"read_parquet('{_EXPECTED}/{name}.parquet')"
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20,7 +43,16 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media_columns(docs)
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT e.doc_id, e.feat_norm, e.feat_dim
+    FROM {_expected('features')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    ORDER BY e.doc_id
+    """,
+    tags=("multimodal",),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched feature extraction
     (mapInPandas): real BMP decode into 4x4 grayscale grid features."""
@@ -28,7 +60,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "feat_norm", F.size("features").alias("feat_dim"))
 
 
-@register("multimodal_resize", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT e.doc_id, e.payload_bytes, e.width, e.height
+    FROM {_expected('resize')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    ORDER BY e.doc_id
+    """,
+    tags=("multimodal",),
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize: BMP decode -> nearest-neighbor resample ->
     BMP re-encode, metadata updated to the actual output geometry."""
@@ -43,7 +84,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_samples", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_frame_samples",
+    oracle=f"""
+    SELECT e.doc_id, e.frame_idx, e.frame_len
+    FROM {_expected('frame_samples')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    ORDER BY e.doc_id, e.frame_idx
+    """,
+    tags=("multimodal",),
+)
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: payload -> 4 frame slices per doc."""
     frames = sample_frames(_media(spark, sf_dir), n_frames=4)
@@ -52,7 +102,18 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_metadata_stats", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_metadata_stats",
+    oracle=f"""
+    SELECT e.media_type, e.format, COUNT(*) AS n,
+           SUM(e.size_bytes) AS total_bytes, MAX(e.width) AS max_width
+    FROM {_expected('media_meta')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    GROUP BY e.media_type, e.format
+    ORDER BY e.media_type, e.format
+    """,
+    tags=("multimodal",),
+)
 def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata rollup over the media struct column."""
     return (
@@ -67,7 +128,16 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_video_frames", oracle=None, tags=("multimodal", "video"))
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    SELECT e.doc_id, e.frame_idx, e.frame_bytes, e.width, e.height
+    FROM {_expected('video_frames')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    ORDER BY e.doc_id, e.frame_idx
+    """,
+    tags=("multimodal", "video"),
+)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video frame sampling: from-scratch Y4M (YUV4MPEG2 C420)
     decode -> keep every 2nd frame -> re-encode each as a BMP.  One
@@ -85,7 +155,16 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features", oracle=None, tags=("multimodal", "audio"))
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT e.doc_id, e.duration_ms, e.rms, e.zero_crossing_rate, e.peak, e.sample_rate
+    FROM {_expected('audio_features')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    ORDER BY e.doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV decode (from-scratch RIFF/PCM codec) -> per-clip
     duration/RMS/zero-crossing/peak features via mapInPandas."""
@@ -96,7 +175,18 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(audio)
 
 
-@register("multimodal_mixed_format_features", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_mixed_format_features",
+    oracle=f"""
+    SELECT e.format, COUNT(*) AS n_images,
+           ROUND({sql_davg('e.feat_norm')}, 3) AS avg_feat_norm
+    FROM {_expected('mixed_formats')} e
+    JOIN documents d ON e.doc_id = d.doc_id
+    GROUP BY e.format
+    ORDER BY e.format
+    """,
+    tags=("multimodal",),
+)
 def multimodal_mixed_format_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A mixed-format corpus (BMP / PNG / baseline JPEG payloads,
     chosen per doc_id) through ONE feature-extraction pass: the
@@ -138,7 +228,10 @@ def multimodal_mixed_format_features(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("format")
         .agg(
             F.count("*").alias("n_images"),
-            F.round(F.avg("feat_norm"), 3).alias("avg_feat_norm"),
+            # fixed-point avg (queries/_exact.py): a 32-partition double
+            # sum differs from DuckDB's single-threaded sum in the last
+            # ULPs, which can flip ROUND(.., 3) at the boundary
+            F.round(davg("feat_norm"), 3).alias("avg_feat_norm"),
         )
         .orderBy("format")
     )
