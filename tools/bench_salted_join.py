@@ -26,9 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-N_LEFT = 4_000_000
-N_KEYS = 50_000
-N_RIGHT = 200_000
+N_LEFT = 20_000_000
+N_KEYS = 100_000
+N_RIGHT = 100_000
+HOT_SHARE_MOD = 5  # id % 5 != 0 -> hot key: 80% of rows on key 0
 ITERS = 3
 
 
@@ -47,11 +48,11 @@ def main() -> None:
     spark = get_session("bench-salted-join")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    # 50% of skewed-left rows pile on key 0; uniform spreads them evenly
+    # 80% of skewed-left rows pile on key 0; uniform spreads them evenly
     skewed = (
         spark.range(N_LEFT)
         .select(
-            F.when(F.col("id") % 2 == 0, F.lit(0))
+            F.when(F.col("id") % HOT_SHARE_MOD != 0, F.lit(0))
             .otherwise(F.col("id") % N_KEYS)
             .alias("k"),
             (F.col("id") % 1000).cast("double").alias("lv"),
@@ -104,10 +105,13 @@ def main() -> None:
         "auto_vs_salted_on_skew": round(sk["auto"]["median_sec"] / sk["salted"]["median_sec"], 2),
         "auto_vs_plain_on_uniform": round(un["auto"]["median_sec"] / un["plain"]["median_sec"], 2),
         "salting_speedup_on_skew": round(sk["plain"]["median_sec"] / sk["salted"]["median_sec"], 2),
+        "probe_overhead_on_uniform_sec": round(
+            un["auto"]["median_sec"] - un["plain"]["median_sec"], 3
+        ),
         "n_left": N_LEFT,
         "n_keys": N_KEYS,
         "n_right": N_RIGHT,
-        "hot_key_share": 0.5,
+        "hot_key_share": round(1 - 1 / HOT_SHARE_MOD, 2),
     }
     payload = {"summary": summary, "results": results}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "SALTED_JOIN_BENCH.json")
