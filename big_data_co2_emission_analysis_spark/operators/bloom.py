@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves string hints in module globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,8 +66,6 @@ def build_bloom_bitmap(
     One count-distinct job sizes m; one explode + bit_or aggregate
     builds the byte map (<= m/8 rows to the driver, raising past
     ``max_bits`` instead of collecting an oversized bitmap)."""
-    import numpy as np
-
     n = df.select(F.approx_count_distinct(key_col).alias("n")).first()["n"] or 1
     m = 1 << max(10, math.ceil(math.log2(bits_per_key * n)))
     if m > max_bits:
@@ -77,12 +77,14 @@ def build_bloom_bitmap(
     pos = F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("pos")
     byte_rows = (
         df.select(pos)
-        .select(
-            F.shiftright("pos", 3).alias("byte_idx"),
-            F.shiftleft(F.lit(1), F.col("pos").bitwiseAND(F.lit(7))).alias("mask"),
+        # python-side shiftLeft only takes a literal shift, so the
+        # variable shift goes through SQL text
+        .selectExpr(
+            "CAST(pos DIV 8 AS LONG) AS byte_idx",
+            "CAST(shiftleft(1, CAST(pos % 8 AS INT)) AS LONG) AS mask",
         )
         .groupBy("byte_idx")
-        .agg(F.bit_or("mask").alias("byte_val"))
+        .agg(F.expr("bit_or(mask)").alias("byte_val"))
         .collect()
     )
     bitmap = np.zeros(m >> 3, dtype=np.uint8)
@@ -102,9 +104,6 @@ def bloom_prefilter(
     false negatives; ~fpp false positives survive for the exact-confirm
     stage).  Hash positions are computed JVM-side; the Pandas UDF is a
     pure vectorized bitmap lookup."""
-    import numpy as np
-    import pandas as pd
-
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
 

@@ -437,10 +437,10 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PROBE_MAX_ID = 50
 
-
-@register(
-    "contamination_check",
-    oracle=rf"""
+# shared by the broadcast-exact and bloom-prefiltered variants: the
+# bloom path only PRUNES before an exact-confirm join, so its output is
+# bit-identical and the same oracle applies to both
+_CONTAMINATION_ORACLE = rf"""
     WITH toks AS (
       SELECT doc_id,
              STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
@@ -467,10 +467,10 @@ _PROBE_MAX_ID = 50
     WHERE g.doc_id >= {_PROBE_MAX_ID}
     GROUP BY g.doc_id
     ORDER BY g.doc_id
-    """,
-    tags=("text", "contamination"),
-)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _contamination_grams(spark: SparkSession, sf_dir: str):
     from ..functions.text import ngram_list
 
     docs = _docs(spark, sf_dir)
@@ -482,19 +482,59 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__g").cast("long").alias("n_grams"),
         F.explode("__g").alias("gram"),
     )
-    probe = (
-        grams.filter(F.col("doc_id") < _PROBE_MAX_ID).select("gram").distinct()
-    )
+    probe = grams.filter(F.col("doc_id") < _PROBE_MAX_ID)
+    corpus = grams.filter(F.col("doc_id") >= _PROBE_MAX_ID)
+    return corpus, probe
+
+
+def _contamination_aggregate(matched: DataFrame) -> DataFrame:
     return (
-        grams.filter(F.col("doc_id") >= _PROBE_MAX_ID)
-        .join(F.broadcast(probe), "gram")
-        .groupBy("doc_id")
+        matched.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shared"),
             F.round(F.count("*") / F.first("n_grams"), 6).alias("contaminated_ratio"),
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "contamination_check",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("text", "contamination"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, probe = _contamination_grams(spark, sf_dir)
+    return _contamination_aggregate(
+        corpus.join(F.broadcast(probe.select("gram").distinct()), "gram")
+    )
+
+
+@register(
+    "contamination_check_bloom",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("text", "contamination"),
+)
+def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE variant of :func:`contamination_check` for probe sets
+    too big to broadcast (decontaminating against another corpus): a
+    from-scratch Bloom bitmap (operators/bloom.py) built over the probe
+    grams prunes the corpus side map-side to ~(contamination rate +
+    fpp) of its grams BEFORE the shuffle join; the surviving candidates
+    exact-confirm through a plain (non-broadcast) join, so false
+    positives drop out and the result is bit-identical to the exact
+    query -- same oracle, hash-checked.  At 100 TB the shuffle carries
+    only the bloom-surviving sliver of the corpus gram stream; the
+    probe side shuffles once regardless."""
+    from ..operators.bloom import bloom_prefilter, build_bloom_bitmap
+
+    corpus, probe = _contamination_grams(spark, sf_dir)
+    probe_grams = probe.select("gram").distinct()
+    bitmap, m, k = build_bloom_bitmap(probe_grams, "gram")
+    candidates = bloom_prefilter(corpus, "gram", bitmap, m, k)
+    # exact confirm WITHOUT broadcast: the regime this variant targets
+    # has a probe side bigger than the broadcast threshold
+    return _contamination_aggregate(candidates.join(probe_grams, "gram"))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""From-scratch distributed Bloom filter (operators/bloom.py): no
+false negatives, bounded false positives, the bitmap-size guard, and
+end-to-end parity of the bloom-prefiltered contamination check with
+the broadcast-exact one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.bloom import (
+    bloom_prefilter,
+    build_bloom_bitmap,
+)
+
+
+def _keys(spark, prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_no_false_negatives(spark):
+    """Every inserted key MUST survive the prefilter -- the property
+    that makes bloom-prune-then-exact-confirm lossless."""
+    members = _keys(spark, "in-", 2000)
+    bitmap, m, k = build_bloom_bitmap(members, "key")
+    survivors = bloom_prefilter(members, "key", bitmap, m, k)
+    assert survivors.count() == 2000
+
+
+def test_false_positive_rate_bounded(spark):
+    """Non-members mostly get pruned: with bits_per_key=10, k=6 the
+    design fpp is ~1%; assert an order-of-magnitude bound (<10%)."""
+    members = _keys(spark, "in-", 2000)
+    others = _keys(spark, "out-", 5000)
+    bitmap, m, k = build_bloom_bitmap(members, "key")
+    fp = bloom_prefilter(others, "key", bitmap, m, k).count()
+    assert fp / 5000 < 0.10
+
+
+def test_bitmap_guard_raises(spark):
+    members = _keys(spark, "in-", 5000)
+    with pytest.raises(ValueError, match="max_bits"):
+        build_bloom_bitmap(members, "key", max_bits=1 << 12)
+
+
+def test_prefilter_preserves_other_columns_and_partitioning_invariance(spark):
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 100).cast("string")).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    sub = df.filter(F.col("payload") < 500)
+    bitmap, m, k = build_bloom_bitmap(sub, "key")
+    out = bloom_prefilter(df.repartition(7), "key", bitmap, m, k)
+    assert out.columns == ["key", "payload"]
+    # keys k0..k99 all appear in sub (payload<500 covers every key mod
+    # 100), so everything must survive regardless of partitioning
+    assert out.count() == 1000
+
+
+def test_bloom_contamination_matches_exact(spark, sf_dir):
+    """End-to-end: the bloom-prefiltered contamination query must be
+    row-identical to the broadcast-exact one (bloom only prunes; the
+    exact-confirm join removes false positives)."""
+    from big_data_co2_emission_analysis_spark.queries.text_queries import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    exact = {tuple(r) for r in contamination_check(spark, sf_dir).collect()}
+    bloom = {tuple(r) for r in contamination_check_bloom(spark, sf_dir).collect()}
+    assert bloom == exact and exact
