@@ -51,7 +51,8 @@ SHIFTS = {
     "embeddings": [("vec_id", "embeddings")],
 }
 COPY_THROUGH = ["region", "nation"]
-# output files per table at factor 10 (sf1.0): keep partitions ~8-64 MB
+# output files per table at factor 10 (sf1.0): keep partitions ~8-64 MB;
+# scaled proportionally for larger factors in main()
 OUT_PARTS = {"lineitem": 16, "orders": 8, "events": 8, "documents": 4}
 
 
@@ -132,7 +133,7 @@ def main() -> None:
                 ),
             )
         out = out.drop("__rep")
-        n_parts = OUT_PARTS.get(t, 4)
+        n_parts = max(1, OUT_PARTS.get(t, 4) * args.factor // 10)
         out.repartition(n_parts).write.mode("overwrite").parquet(f"{args.dest}/{t}.parquet")
         got = spark.read.parquet(f"{args.dest}/{t}.parquet").count()
         want = counts[t] * args.factor
