@@ -7,6 +7,8 @@ bit-exact assignments).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,10 +107,32 @@ def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_banded_pairs(docs, "doc_id", "text", min_jaccard=0.3)
 
 
-@register("simhash_signatures", oracle=None, tags=("dedup",))
+#: expected tables for the hash-based text queries: pure functions of
+#: the TEXT, precomputed by an independent pure-Python replication
+#: (xxHash64 from the public spec -- tools/gen_text_expected.py) and
+#: joined on md5(text), so the oracle is sf-agnostic and genuinely
+#: cross-implementation (JVM xxhash64 vs spec-Python xxh64)
+_TEXT_EXPECTED = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "..", "fixtures", "expected_text")
+)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    SELECT d.doc_id, e.simhash
+    FROM documents d
+    JOIN read_parquet('{_TEXT_EXPECTED}/simhash.parquet') e
+      ON md5(d.text) = e.text_md5
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup",),
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (deterministic: xxhash64 seed fixed by
-    Spark; pure map-side, no shuffle)."""
+    """64-bit SimHash per document (deterministic: xxhash64 seed fixed
+    by Spark; pure map-side, no shuffle).  Oracle: expected signatures
+    from the independent pure-Python xxHash64 replication (see
+    _TEXT_EXPECTED) -- a JVM-vs-spec cross-implementation check."""
     docs = read_documents(spark, sf_dir)
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 

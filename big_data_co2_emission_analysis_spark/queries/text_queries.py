@@ -6,6 +6,8 @@ checks with planted-duplicate unit tests in tests/test_dedup.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -541,11 +543,32 @@ def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token frequency: explode + count (the word-count shape; at scale a
 # two-level partial aggregation that Catalyst plans automatically).
 # --------------------------------------------------------------------------
-@register("lang_id_heuristic", oracle=None, tags=("text",))
+# Expected tables for the heuristic/hash text queries: pure functions
+# of the TEXT, precomputed by an independent pure-Python replication
+# (incl. xxHash64 from the public spec, tools/gen_text_expected.py)
+# and joined on md5(text) -- sf-agnostic, cross-implementation.
+_TEXT_EXPECTED = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "expected_text")
+)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, e.predicted_lang
+    FROM documents d
+    JOIN read_parquet('{_TEXT_EXPECTED}/lang_id.parquet') e
+      ON md5(d.text) = e.text_md5
+    ORDER BY d.doc_id
+    """,
+    tags=("text",),
+)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID vs the labeled lang column; accuracy
     on crafted texts is unit-tested (the fixture corpus is random word
-    salad, so agreement there is not meaningful)."""
+    salad, so agreement there is not meaningful).  Oracle: expected
+    predictions from the pure-Python replication of the argmax
+    expression (tools/gen_text_expected.py)."""
     from ..functions.text import lang_id
 
     return (
@@ -555,10 +578,23 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_scores", oracle=None, tags=("text",))
+@register(
+    "quality_scores",
+    oracle=f"""
+    SELECT d.doc_id, e.quality, e.n_bpe_tokens, e.fingerprint64
+    FROM documents d
+    JOIN read_parquet('{_TEXT_EXPECTED}/quality.parquet') e
+      ON md5(d.text) = e.text_md5
+    ORDER BY d.doc_id
+    """,
+    tags=("text",),
+)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic + BPE-ish subword token estimate +
-    rolling xxhash64 fingerprint -- all native expressions."""
+    rolling xxhash64 fingerprint -- all native expressions.  Oracle:
+    expected values from the independent pure-Python replication
+    (half-up rounding, ASCII regex classes, spec xxHash64 --
+    tools/gen_text_expected.py)."""
     from ..functions.text import bpe_ish_token_count, quality_score, rolling_fingerprint
 
     return (
