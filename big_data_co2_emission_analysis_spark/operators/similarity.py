@@ -48,12 +48,16 @@ def brute_force_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "qv",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for every query: broadcast the query set,
     one corpus scan, per-query top-k heap.
 
     Returns (query_id, vec_id, cosine, rank).  Cosine ties break on
-    vec_id for determinism.
+    vec_id for determinism.  ``round_dp`` rounds the cosine BEFORE
+    ranking (ties then break on id) -- the cross-engine-deterministic
+    mode an oracle comparison needs, since last-ULP float noise could
+    otherwise swap adjacent ranks between engines.
     """
     # norms precomputed once per side: cosine-per-pair would re-reduce
     # both vectors for every (corpus, query) combination -- 3x the
@@ -62,11 +66,10 @@ def brute_force_topk(
         queries.select(query_id, query_vec).withColumn("__qn", l2_norm(F.col(query_vec)))
     )
     c = corpus.select(corpus_id, corpus_vec).withColumn("__cn", l2_norm(F.col(corpus_vec)))
-    scored = c.crossJoin(q).select(
-        query_id,
-        corpus_id,
-        (dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("__cn") * F.col("__qn"))).alias("cosine"),
-    )
+    cos = dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("__cn") * F.col("__qn"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = c.crossJoin(q).select(query_id, corpus_id, cos.alias("cosine"))
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -173,16 +173,47 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=10, n_cells=8, nprobe=3)
 
 
-@register("knn_bruteforce_multi", oracle=None, tags=("vector", "similarity"))
+@register(
+    "knn_bruteforce_multi",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) AS cn
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.cv, q.qv), p -> p[1] * p[2]))
+                   / (c.cn * q.qn), 6) AS cosine
+      FROM c, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    tags=("vector", "similarity"),
+)
 def knn_bruteforce_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-10 for 5 queries (the recall baseline for
-    the two ANN variants above)."""
+    the two ANN variants above).  Cosines round to 6 dp BEFORE ranking
+    on both engines so last-ULP noise cannot reorder the comparison
+    (the knn_cosine_top10 convention); ties then break on vec_id."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return brute_force_topk(corpus, queries, k=10)
+    return brute_force_topk(corpus, queries, k=10, round_dp=6)
 
 
 @register("ann_ivf_persisted_top10", oracle=None, tags=("vector", "similarity"))

@@ -777,11 +777,24 @@ def packed_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Custom Python data source (sources/pydatasource.py): corpus stats
-# over the synthetic_corpus source.  No DuckDB oracle (the source is a
-# Python generator, not a table) -- rows-only by design; determinism is
-# pinned by unit tests instead (content is a pure function of doc_id).
+# over the synthetic_corpus source.  Content is a pure function of
+# doc_id (synth_doc), so the oracle aggregates a precomputed per-doc
+# expected table (tools/gen_text_expected.py) -- verifying that the
+# source's partition planning + read plumbing delivers exactly
+# synth_doc(i) for every id, independent of partition count.
 # --------------------------------------------------------------------------
-@register("synthetic_corpus_stats", tags=("source", "pydatasource"))
+@register(
+    "synthetic_corpus_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           COUNT(DISTINCT text_md5) AS distinct_texts,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM read_parquet('{_TEXT_EXPECTED}/synth_corpus.parquet')
+    """,
+    tags=("source", "pydatasource"),
+)
 def synthetic_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pydatasource import register_synthetic_corpus
 

@@ -186,6 +186,26 @@ def main() -> None:
         ),
         os.path.join(OUT_DIR, "lang_id.parquet"),
     )
+
+    # synthetic_corpus source (sources/pydatasource.py): per-doc rows
+    # from the SAME pure row function the source declares, so the
+    # oracle verifies the partition-planning/read plumbing delivers
+    # exactly synth_doc(i) for every id at any partitioning
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from big_data_co2_emission_analysis_spark.sources.pydatasource import synth_doc
+
+    synth_rows = []
+    for i in range(2000):
+        doc_id, text, n_tokens = synth_doc(i)
+        synth_rows.append((doc_id, hashlib.md5(text.encode("utf-8")).hexdigest(), n_tokens))
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(synth_rows, columns=["doc_id", "text_md5", "n_tokens"]),
+            schema=pa.schema([("doc_id", pa.int64()), ("text_md5", pa.string()), ("n_tokens", pa.int64())]),
+            preserve_index=False,
+        ),
+        os.path.join(OUT_DIR, "synth_corpus.parquet"),
+    )
     print("done:", OUT_DIR)
 
 
