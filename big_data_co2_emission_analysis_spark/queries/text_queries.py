@@ -528,12 +528,12 @@ def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     query -- same oracle, hash-checked.  At 100 TB the shuffle carries
     only the bloom-surviving sliver of the corpus gram stream; the
     probe side shuffles once regardless."""
-    from ..operators.bloom import bloom_prefilter, build_bloom_bitmap
+    from ..operators.bloom import bloom_prefilter_jvm, build_bloom_bitmap
 
     corpus, probe = _contamination_grams(spark, sf_dir)
     probe_grams = probe.select("gram").distinct()
     bitmap, m, k = build_bloom_bitmap(probe_grams, "gram")
-    candidates = bloom_prefilter(corpus, "gram", bitmap, m, k)
+    candidates = bloom_prefilter_jvm(corpus, "gram", bitmap, m, k)
     # exact confirm WITHOUT broadcast: the regime this variant targets
     # has a probe side bigger than the broadcast threshold
     return _contamination_aggregate(candidates.join(probe_grams, "gram"))

@@ -385,6 +385,7 @@ def stream_scd2_merge(
     checkpoint: str,
     order_cols: list[str] | None = None,
     available_now: bool = True,
+    fault_injector=None,
 ):
     """Streaming CDC -> SCD2 dimension maintenance: each micro-batch of
     change rows is merged into the parquet-backed dimension with
@@ -426,9 +427,13 @@ def stream_scd2_merge(
             )
         merged = scd2_apply(dim, batch_df, key_cols, ts_col, order_cols)
         merged.write.mode("overwrite").parquet(tmp)
+        if fault_injector is not None:  # test-only crash-point hook
+            fault_injector(batch_id, "post_stage")
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dim_path):
             os.rename(dim_path, old)
+        if fault_injector is not None:
+            fault_injector(batch_id, "post_backup")
         os.rename(tmp, dim_path)
         shutil.rmtree(old, ignore_errors=True)
 

@@ -71,3 +71,21 @@ def test_bloom_contamination_matches_exact(spark, sf_dir):
     exact = {tuple(r) for r in contamination_check(spark, sf_dir).collect()}
     bloom = {tuple(r) for r in contamination_check_bloom(spark, sf_dir).collect()}
     assert bloom == exact and exact
+
+
+def test_jvm_prefilter_parity_with_udf_variant(spark):
+    """bloom_prefilter_jvm (broadcast array<long> + codegen bit test)
+    must keep exactly the same survivors as the Pandas-UDF bitmap
+    lookup -- same positions, same bitmap, different execution path."""
+    from big_data_co2_emission_analysis_spark.operators.bloom import (
+        bloom_prefilter_jvm,
+    )
+
+    members = _keys(spark, "in-", 1500)
+    others = _keys(spark, "out-", 1500)
+    both = members.unionByName(others)
+    bitmap, m, k = build_bloom_bitmap(members, "key")
+    udf_set = {r["key"] for r in bloom_prefilter(both, "key", bitmap, m, k).collect()}
+    jvm_set = {r["key"] for r in bloom_prefilter_jvm(both, "key", bitmap, m, k).collect()}
+    assert jvm_set == udf_set
+    assert {f"in-{i}" for i in range(1500)} <= jvm_set  # no false negatives

@@ -234,6 +234,73 @@ def test_stream_scd2_merge_matches_batch_build(spark, tmp_path):
     assert canon(spark.read.parquet(dim_path)) == canon(full)
 
 
+@pytest.mark.parametrize("crash_point", ["post_stage", "post_backup"])
+def test_stream_scd2_merge_torn_swap_recovery(spark, tmp_path, crash_point):
+    """Chaos twin of the upsert-sink test for the SCD2 dim maintainer:
+    crash inside the swap (stage written / dim renamed aside), restart
+    from the same checkpoint, and the final dimension must equal the
+    one-shot batch build -- no previously merged history lost."""
+    import datetime
+    import os
+
+    from big_data_co2_emission_analysis_spark.operators.scd2 import scd2_build
+    from big_data_co2_emission_analysis_spark.streaming.windows import stream_scd2_merge
+
+    schema = "k long, attr string, ts timestamp"
+    b1 = [(1, "a", "2024-01-01"), (2, "x", "2024-01-05")]
+    b2 = [(1, "b", "2024-02-01"), (3, "m", "2024-02-10")]
+    src = tmp_path / "changes"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    ck = str(tmp_path / "ckpt")
+
+    def write_batch(i, rows):
+        spark.createDataFrame(
+            [(k, a, datetime.datetime.fromisoformat(t)) for k, a, t in rows], schema
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    def run(injector=None):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = stream_scd2_merge(
+            stream, dim_path, ["k"], "ts", ck, fault_injector=injector
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    write_batch(0, b1)
+    run()
+    assert os.path.exists(dim_path)
+
+    write_batch(1, b2)
+
+    def boom(batch_id, point):
+        if point == crash_point:
+            raise RuntimeError(f"injected crash at {point}")
+
+    with pytest.raises(Exception):
+        run(injector=boom)
+    if crash_point == "post_backup":
+        assert not os.path.exists(dim_path)  # the torn window
+        assert os.path.exists(dim_path.rstrip("/") + ".old")
+
+    run()  # recovery + replay
+    full = scd2_build(
+        spark.createDataFrame(
+            [(k, a, datetime.datetime.fromisoformat(t)) for k, a, t in b1 + b2], schema
+        ),
+        ["k"],
+        "ts",
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in df.collect()
+    )
+    assert canon(spark.read.parquet(dim_path)) == canon(full)
+    assert not os.path.exists(dim_path.rstrip("/") + ".old")
+    assert not os.path.exists(dim_path.rstrip("/") + ".merging")
+
+
 def test_tws_user_stats_matches_batch_if_protobuf_available(spark, sf_dir):
     """transformWithStateInPandas parity with the batch GROUP BY.
     The TWS worker requires google.protobuf (absent in this container)
