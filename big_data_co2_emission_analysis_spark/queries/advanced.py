@@ -9,10 +9,19 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints in mo
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os as _os
+
 from ..operators.joins import as_of_join
 from ..sources.readers import read_events
 from ._exact import dsum, spark_sql_fx, sql_dsum, sql_fx
 from .registry import register
+
+#: expected side-per-custkey for the keyed train/test split: a pure
+#: function of the custkey value, precomputed by the independent
+#: pure-Python xxHash64 replication (tools/gen_sampling_expected.py)
+_SAMPLING_EXPECTED = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "..", "fixtures", "expected_sampling")
+)
 
 
 # --------------------------------------------------------------------------
@@ -218,10 +227,26 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("l_returnflag").count().orderBy("l_returnflag")
 
 
-@register("train_test_split_summary", oracle=None, tags=("sample",))
+@register(
+    "train_test_split_summary",
+    oracle=f"""
+    SELECT e.side,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o
+    JOIN read_parquet('{_SAMPLING_EXPECTED}/custkey_side.parquet') e
+      ON o.o_custkey = e.custkey
+    GROUP BY e.side
+    ORDER BY e.side
+    """,
+    tags=("sample",),
+)
 def train_test_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed split summary: per-side row/customer counts (hash-based ->
-    deterministic for a given seed, partitioning-independent)."""
+    deterministic for a given seed, partitioning-independent).  Oracle:
+    the side of each custkey is precomputed by the spec-Python xxHash64
+    replication (tools/gen_sampling_expected.py) -- a genuinely
+    cross-implementation check of the keyed-split hash chain."""
     from ..operators.sampling import train_test_split
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

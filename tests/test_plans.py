@@ -373,6 +373,7 @@ _NLJ_WHITELIST = {
     "q11_important_parts",    # TPC-H Q11 scalar threshold subquery
     "q22_sales_opportunity",  # TPC-H Q22 scalar average subquery
     "knn_cosine_top10",       # documented exact baseline: 5-query broadcast set
+    "knn_bruteforce_multi",   # same 5-query broadcast exact baseline (multi-query)
     "bm25_top_docs",          # 1-row corpus (N, avgdl) scalar build side
     "lineitem_price_histogram",  # 1-row min/max bounds build side
     "event_funnel_counts",    # three 1-row stage-count scalars joined
