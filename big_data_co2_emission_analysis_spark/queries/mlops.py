@@ -19,6 +19,24 @@ from .co2_shaped import user_change_df
 from ..sources.readers import read_documents
 from .registry import register
 
+#: expected near-dup pairs for the hand-rolled banded MinHash: the full
+#: deterministic pipeline (xxhash64 shingle hashes, Random(42) affine
+#: constants, banding, exact-Jaccard verify) replicated in pure
+#: Python/numpy (tools/gen_minhash_expected.py), keyed by a corpus md5
+#: the oracle recomputes in SQL
+_DEDUP_EXPECTED = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "..", "fixtures", "expected_dedup")
+)
+
+#: the corpus fingerprint both the generator and the oracle compute
+_CORPUS_MD5_SQL = "(SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents)"
+
+#: same idea for the embeddings table (tools/gen_lsh_expected.py)
+_EMB_MD5_SQL = (
+    "(SELECT md5(string_agg(md5(CAST(embedding AS VARCHAR)), '' ORDER BY vec_id)) "
+    "FROM embeddings)"
+)
+
 
 def _index_cache_path(sf_dir: str, kind: str) -> str:
     """Cache location for persisted ANN indexes: rooted at the repo (or
@@ -94,13 +112,27 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_banded_near_dups", oracle=None, tags=("dedup",))
+@register(
+    "minhash_banded_near_dups",
+    oracle=f"""
+    SELECT id_a, id_b, est_jaccard, jaccard
+    FROM read_parquet('{_DEDUP_EXPECTED}/minhash_banded_pairs.parquet')
+    WHERE corpus_md5 = {_CORPUS_MD5_SQL}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
 def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled MinHash banding (shingle -> k minhashes -> b bands ->
     bucket-join -> exact-Jaccard candidate verification); the
     custom-operator counterpart of minhash_near_dups (pyspark.ml),
     ~2x faster at sf0.1 with the codegen-friendly columnar signature.
-    Recall vs exact ngram_jaccard_pairs is unit-tested."""
+    Recall vs exact ngram_jaccard_pairs is unit-tested.
+
+    Oracle: the ENTIRE deterministic pipeline replicated independently
+    in pure Python/numpy (tools/gen_minhash_expected.py -- spec xxHash64,
+    Random(42) affine constants, banding, exact-Jaccard), precomputed
+    per corpus and matched bit-exact on est_jaccard AND jaccard."""
     from ..operators.dedup import minhash_banded_pairs
 
     docs = read_documents(spark, sf_dir)
@@ -137,23 +169,47 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
-@register("embedding_near_dups", oracle=None, tags=("dedup", "vector"))
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+    SELECT id_a, id_b, cosine
+    FROM read_parquet('{_DEDUP_EXPECTED}/embedding_near_dups.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "vector"),
+)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-projection LSH on
-    L2-normalized vectors; approximate -> rows-only, recall pinned by
-    planted-pair unit tests.  Threshold 0.4 matches the fixture corpus
+    L2-normalized vectors.  Threshold 0.4 matches the fixture corpus
     (random embeddings; max pairwise cosine ~0.51 -- production near-dup
-    mining would use ~0.95)."""
+    mining would use ~0.95).
+
+    Oracle: Spark's BRP-LSH is deterministic for a fixed seed, so the
+    whole pipeline (java.util.Random unit vectors, floor-bucket hashes,
+    candidate join, euclidean filter) is replicated independently in
+    pure Python (tools/gen_lsh_expected.py) and matched bit-exact."""
     from ..operators.dedup import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
 
 
-@register("ann_lsh_top10", oracle=None, tags=("vector", "similarity"))
+@register(
+    "ann_lsh_top10",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine, rank
+    FROM read_parquet('{_DEDUP_EXPECTED}/ann_lsh_top10.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY query_id, rank
+    """,
+    tags=("vector", "similarity"),
+)
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors for 5 query vectors via
-    random-projection LSH; recall vs brute force is unit-tested."""
+    random-projection LSH; recall vs brute force is unit-tested.
+    Oracle: the seed-deterministic LSH replicated in pure Python
+    (tools/gen_lsh_expected.py), bit-exact on cosine and rank."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -256,9 +312,20 @@ def _ann_recall(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     )
 
 
-@register("ann_lsh_recall", oracle=None, tags=("vector", "similarity", "metric"))
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    SELECT query_id, recall_at_10
+    FROM read_parquet('{_DEDUP_EXPECTED}/ann_lsh_recall.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY query_id
+    """,
+    tags=("vector", "similarity", "metric"),
+)
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of the LSH ANN path vs exact, per query."""
+    """recall@10 of the LSH ANN path vs exact, per query.  Both sides
+    are seed-deterministic, so even the recall METRIC has a replication
+    oracle (tools/gen_lsh_expected.py)."""
     return _ann_recall(spark, sf_dir, ann_lsh_top10)
 
 

@@ -377,6 +377,7 @@ _NLJ_WHITELIST = {
     "bm25_top_docs",          # 1-row corpus (N, avgdl) scalar build side
     "lineitem_price_histogram",  # 1-row min/max bounds build side
     "event_funnel_counts",    # three 1-row stage-count scalars joined
+    "contamination_check_bloom",  # 1-row broadcast bloom-bitmap build side
 }
 
 
