@@ -101,11 +101,26 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(emb).select("vec_id", "label", "cluster")
 
 
-@register("minhash_near_dups", oracle=None, tags=("dedup",))
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+    SELECT id_a, id_b, jaccard_distance
+    FROM read_parquet('{_DEDUP_EXPECTED}/minhash_ml_pairs.parquet')
+    WHERE corpus_md5 = {_CORPUS_MD5_SQL}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents (jaccard distance
-    <= 0.7 -- the fixture corpus is random word-salad, so only genuinely
-    similar docs pair up; planted-duplicate tests pin the semantics)."""
+    < 0.7 -- the fixture corpus is random word-salad, so only genuinely
+    similar docs pair up; planted-duplicate tests pin the semantics).
+
+    Oracle: the pyspark.ml MinHashLSH + HashingTF pipeline is
+    deterministic for seed 42, so it is replicated independently
+    (spec Murmur3 term hashing, java.util.Random coefficients, strict
+    < threshold -- tools/gen_minhash_ml_expected.py) and matched
+    bit-exact on the jaccard distance."""
     docs = read_documents(spark, sf_dir)
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hash_tables=8, max_jaccard_distance=0.7
