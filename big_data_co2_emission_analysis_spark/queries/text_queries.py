@@ -1114,11 +1114,27 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Real BPE tokenization (operators/bpe.py): merge table trained on a
 # bounded driver sample (deterministic merge order), distributed
-# Arrow-batched encode.  BPE application isn't SQL-expressible ->
-# rows-only by the driver contract; the merge algorithm itself is
-# hand-verified against the textbook example in tests/test_bpe.py.
+# Arrow-batched encode.  The merge algorithm is hand-verified against
+# the textbook example in tests/test_bpe.py AND the full train+encode
+# is replicated by an independent implementation of the published
+# algorithm (tools/gen_bpe_expected.py) feeding the oracle below.
 # --------------------------------------------------------------------------
-@register("bpe_token_stats", oracle=None, tags=("text", "tokenize"))
+_BPE_EXPECTED = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "expected_dedup")
+)
+_BPE_CORPUS_MD5_SQL = "(SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents)"
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id, n_words, n_tokens, tokens_per_word
+    FROM read_parquet('{_BPE_EXPECTED}/bpe_token_stats.parquet')
+    WHERE corpus_md5 = {_BPE_CORPUS_MD5_SQL}
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokenize"),
+)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token counts vs whitespace word counts: the
     compression a 200-merge vocabulary achieves on the fixture corpus
@@ -1126,7 +1142,11 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode, bpe_train
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_train(docs, num_merges=200, sample_docs=2000)
+    # sample_docs covers every fixture corpus IN FULL (<= 10k docs), so
+    # training sees a deterministic set regardless of scan order and the
+    # replication oracle can retrain on the identical corpus; at real
+    # scale the bound is what makes driver-side training safe
+    merges = bpe_train(docs, num_merges=200, sample_docs=10_000)
     enc = bpe_encode(docs, merges)
     words = docs.select(
         "doc_id", F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_words")
