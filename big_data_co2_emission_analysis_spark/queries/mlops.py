@@ -101,6 +101,57 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(emb).select("vec_id", "label", "cluster")
 
 
+def _det_kmeans(spark: SparkSession, sf_dir: str):
+    from ..ml.deterministic import deterministic_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return deterministic_kmeans(emb, "vec_id", "embedding", k=8, n_iter=5, seed=42)
+
+
+@register(
+    "kmeans_deterministic",
+    oracle=f"""
+    SELECT vec_id, cluster
+    FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY vec_id
+    """,
+    tags=("ml", "vector"),
+)
+def kmeans_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning-independent k-means assignments (ml/deterministic.py):
+    md5-keyed init, decimal-exact centroid sums, fixed iteration count.
+    Unlike the MLlib path (rows-only forever: per-partition RNG +
+    order-dependent float sums), this variant is reproducible by
+    construction and oracle-checked bit-exact against a pure-Python
+    replication (tools/gen_kmeans_expected.py)."""
+    out, _ = _det_kmeans(spark, sf_dir)
+    return out.orderBy("vec_id")
+
+
+@register(
+    "kmeans_deterministic_centroids",
+    oracle=f"""
+    SELECT cluster, pos, value
+    FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic_centroids.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY cluster, pos
+    """,
+    tags=("ml", "vector"),
+)
+def kmeans_deterministic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final centroids of kmeans_deterministic in long form
+    (cluster, pos, value) -- every coordinate double matched BIT-EXACT
+    by the replication oracle, the strongest possible statement that
+    the distributed decimal-sum update is order-independent."""
+    _, centroids = _det_kmeans(spark, sf_dir)
+    spark_df = spark.createDataFrame(
+        [(ci, pos, v) for ci, c in enumerate(centroids) for pos, v in enumerate(c)],
+        "cluster int, pos int, value double",
+    )
+    return spark_df.orderBy("cluster", "pos")
+
+
 @register(
     "minhash_near_dups",
     oracle=f"""
