@@ -1425,6 +1425,51 @@ def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Spark 4 VariantType: the semi-structured column type (binary-encoded
+# JSON with typed path extraction).  Each order serializes to a JSON
+# document, parses to VARIANT, and the aggregation reads fields back
+# out with variant_get typed paths; the oracle aggregates the raw
+# columns directly, so a green check proves the variant round-trip is
+# LOSSLESS (string and double survive bit-exact through
+# to_json -> parse_json -> variant_get).
+# --------------------------------------------------------------------------
+@register(
+    "variant_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    tags=("variant", "semistructured"),
+)
+def variant_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = orders.select(
+        F.parse_json(
+            F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+        ).alias("v")
+    )
+    fields = v.select(
+        F.expr("variant_get(v, '$.o_orderstatus', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.o_totalprice', 'double')").alias("price"),
+        F.expr("variant_get(v, '$.o_orderkey', 'long')").alias("okey"),
+    )
+    return (
+        fields.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price").alias("total_price"),
+            F.max("okey").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
 # SQL PIVOT clause (the DataFrame .pivot() twin, exercising the SQL
 # parser path).  DuckDB's PIVOT dialect differs, so the oracle states
 # the same contract as conditional aggregation.

@@ -205,6 +205,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4; previously the spark-xml
+    package).  One row per ``row_tag`` element.  As with JSON, pass
+    ``schema`` in production: inference is an extra full scan, and XML
+    carries even less type information than JSON (everything is text
+    until the rowTag parser coerces it)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_text(
     spark: SparkSession, path: str, whole_text: bool = False, line_sep: str | None = None
 ) -> DataFrame:

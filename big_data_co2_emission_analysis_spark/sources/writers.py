@@ -164,6 +164,26 @@ def write_csv(
     writer.csv(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+) -> None:
+    """XML sink (Spark 4 built-in).  Interchange-only, like CSV: no
+    schema, no statistics, no pushdown on re-read -- exists because
+    enterprise feeds still speak XML, not because anything analytical
+    should."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

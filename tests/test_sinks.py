@@ -188,3 +188,25 @@ def test_jsonl_round_trip_nested(spark, tmp_path):
     back = read_jsonl(spark, path)
     got = sorted((r["id"], r["payload"]["a"], list(r["payload"]["b"])) for r in back.collect())
     assert got == [(1, 1, [1, 2]), (2, 5, [])]
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML source/sink: values survive, explicit
+    schema on re-read (XML carries no types)."""
+    from big_data_co2_emission_analysis_spark.sources.readers import read_xml
+    from big_data_co2_emission_analysis_spark.sources.writers import write_xml
+
+    src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(src, path, row_tag="part", root_tag="parts")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="part",
+        schema="p_partkey long, p_brand string, p_retailprice double",
+    )
+    a = sorted((r.p_partkey, r.p_brand, r.p_retailprice) for r in src.collect())
+    b = sorted((r.p_partkey, r.p_brand, r.p_retailprice) for r in back.collect())
+    assert a == b
