@@ -1,0 +1,148 @@
+"""Distributed n-gram language model: corpus-trained bigram counts +
+per-document perplexity-style scoring -- the classic "perplexity
+filter" stage of a pretraining data pipeline (score every document
+under a cheap LM trained on the corpus itself; outliers are boilerplate,
+gibberish, or format noise).
+
+Spark-first shape (no Python boundary anywhere):
+
+- Bigram construction is a PURE MAP: the token array is built once per
+  row (``split`` + ``filter``), a BOS marker is prepended, and the
+  (v, w) pairs come from ``arrays_zip(slice(toks, 1, n-1),
+  slice(toks, 2, n-1))`` + ``explode`` -- no window, no self-join, no
+  shuffle to form adjacent pairs.
+- Counting is ONE shuffle: ``groupBy(v, w).count()`` with map-side
+  combine.  Context totals c(v) and the vocabulary size both derive
+  from the (already tiny) bigram-count table -- no second corpus scan.
+- Scoring is ONE shuffle: the exploded bigram stream joins the count
+  table on (v, w).  The context-total table (|vocab| rows) and the
+  1-row vocabulary scalar broadcast into the plan.
+
+Model: add-alpha smoothed bigram LM over the corpus's own vocabulary,
+
+    P(w | v) = (c(v, w) + alpha) / (c(v) + alpha * V)
+
+with V = |distinct non-BOS tokens|.  Because documents are scored
+under counts from the same corpus, every context v is attested (c(v)
+exists) and no UNK handling is needed; unseen *bigrams* get the
+smoothed floor.  Per-document score = mean negative log-probability
+(perplexity = exp of it).
+
+Cross-engine determinism: each bigram's log-probability is quantized
+to 9 decimal places in fixed-point int64 micro-units (queries/_exact
+pattern) so the per-document sum is associative -- identical under any
+partitioning, and replayed exactly by the DuckDB oracle.
+
+Scale notes (100 TB): the count table has one row per distinct bigram
+-- vocabulary-bounded, not corpus-bounded -- and both shuffles key on
+high-cardinality (v, w), so no hot keys beyond stopword pairs, which
+map-side combine absorbs.  Nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..queries._exact import fx, unfx
+
+#: beginning-of-sentence marker; cannot collide with real tokens because
+#: the tokenizer splits on whitespace and lowercases (no '<' fusion with
+#: adjacent text once whitespace-split).
+BOS = "<s>"
+
+#: log-prob quantization scale (decimal places) for the associative sum
+LP_SCALE = 9
+
+
+def _token_array(text_col: Column) -> Column:
+    """Lower + whitespace split + drop empties, as an ARRAY column
+    (the array-valued twin of functions.ranking.tokenize)."""
+    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != "")
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, v, w) for every adjacent token pair, BOS-prefixed.
+
+    Pure map: slice + zip + explode on the per-row token array.  A
+    document with no tokens contributes no rows.
+    """
+    toks = F.concat(F.array(F.lit(BOS)), _token_array(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("v"),
+        F.slice(toks, 2, n - 1).alias("w"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("__p"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__p.v").alias("v"),
+            F.col("__p.w").alias("w"),
+        )
+    )
+
+
+def bigram_lm_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, context_counts, vocab) for the corpus.
+
+    ``bigram_counts``: (v, w, c_vw) -- one shuffle, map-side combined.
+    ``context_counts``: (v, c_v)    -- derived from bigram_counts (the
+    count of bigrams with context v IS the number of transitions out of
+    v), no second corpus scan.
+    ``vocab``: 1-row (v_size,) -- distinct non-BOS successor tokens.
+    Every corpus token appears as some bigram's ``w`` (each token has a
+    predecessor thanks to BOS), so counting distinct ``w`` over the
+    count table equals counting distinct tokens over the corpus.
+    """
+    big = doc_bigrams(docs, id_col, text_col)
+    counts = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    vocab = counts.agg(F.count_distinct("w").alias("v_size"))
+    return counts, ctx, vocab
+
+
+def score_docs_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document LM score: (id, n_bigrams, avg_logprob, perplexity).
+
+    avg_logprob = mean over the document's bigrams of
+    ln((c(v,w) + alpha) / (c(v) + alpha * V)); perplexity =
+    exp(-avg_logprob).  Documents with no tokens are absent (no
+    bigrams to score).
+
+    Each term is rounded to ``LP_SCALE`` dp and summed in fixed-point
+    int64, so the result is partitioning-independent and replayable by
+    an ANSI-SQL oracle.
+    """
+    counts, ctx, vocab = bigram_lm_counts(docs, id_col, text_col)
+    big = doc_bigrams(docs, id_col, text_col)
+
+    lp = F.log(
+        (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("c_v").cast("double") + F.lit(alpha) * F.col("v_size").cast("double"))
+    )
+    scored = (
+        big.join(counts, ["v", "w"], "left")
+        .join(F.broadcast(ctx), "v")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), fx(lp, LP_SCALE).alias("__lp_fx"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (unfx(F.sum("__lp_fx"), LP_SCALE) / F.count(F.lit(1))).alias("__avg"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("perplexity"),
+    )

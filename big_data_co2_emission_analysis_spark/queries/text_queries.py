@@ -11,7 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._exact import davg, sql_davg
+from ._exact import davg, sql_davg, sql_fx
 from .registry import register
 
 
@@ -1160,4 +1160,129 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens").cast("double") / F.col("n_words")).alias("tokens_per_word"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language model (operators/ngram_lm.py): the "perplexity
+# filter" stage of a pretraining pipeline -- score every document
+# under an add-alpha bigram LM trained on the corpus itself.  The
+# per-bigram log-probs are quantized to 9 dp fixed-point before the
+# per-doc sum (queries/_exact pattern), so the oracle replays the
+# whole train+score pipeline exactly in SQL.
+# --------------------------------------------------------------------------
+_LM_ALPHA = 0.5
+_LM_BIGRAM_CTES = r"""
+    arr AS (
+      SELECT doc_id,
+             ['<s>'] || list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS v,
+             unnest(list_slice(toks, 2, len(toks))) AS w
+      FROM arr
+    ),
+    counts AS (SELECT v, w, COUNT(*) AS c_vw FROM big GROUP BY 1, 2)
+"""
+
+
+@register(
+    "lm_top_bigrams",
+    oracle=f"""
+    WITH
+    {_LM_BIGRAM_CTES}
+    SELECT v, w, c_vw
+    FROM counts
+    ORDER BY c_vw DESC, v, w
+    LIMIT 20
+    """,
+    tags=("text", "lm"),
+)
+def lm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams by count (the training-side artifact of
+    the bigram LM; BOS-prefixed so first tokens are attested too)."""
+    from ..operators.ngram_lm import bigram_lm_counts
+
+    counts, _, _ = bigram_lm_counts(_docs(spark, sf_dir))
+    return counts.orderBy(F.desc("c_vw"), "v", "w").limit(20)
+
+
+@register(
+    "doc_lm_scores",
+    oracle=f"""
+    WITH
+    {_LM_BIGRAM_CTES},
+    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
+    scored AS (
+      SELECT b.doc_id,
+             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
+      FROM big b
+      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
+      JOIN ctx x ON b.v = x.v
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*), 6) AS avg_logprob,
+           ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "lm"),
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score: mean negative-log-prob +
+    perplexity under add-alpha smoothing (alpha=0.5, corpus-trained).
+    High-perplexity documents are the gibberish/boilerplate candidates
+    a perplexity filter drops."""
+    from ..operators.ngram_lm import score_docs_bigram_lm
+
+    return score_docs_bigram_lm(_docs(spark, sf_dir), alpha=_LM_ALPHA).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "lm_perplexity_outliers",
+    oracle=f"""
+    WITH
+    {_LM_BIGRAM_CTES},
+    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
+    scored AS (
+      SELECT b.doc_id,
+             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
+      FROM big b
+      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
+      JOIN ctx x ON b.v = x.v
+      CROSS JOIN vocab
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, perplexity
+    FROM per_doc
+    ORDER BY perplexity DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "lm"),
+)
+def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 highest-perplexity documents under the corpus bigram LM
+    -- the drop candidates a perplexity filter would surface."""
+    from ..operators.ngram_lm import score_docs_bigram_lm
+
+    return (
+        score_docs_bigram_lm(_docs(spark, sf_dir), alpha=_LM_ALPHA)
+        .select("doc_id", "n_bigrams", "perplexity")
+        .orderBy(F.desc("perplexity"), "doc_id")
+        .limit(20)
     )

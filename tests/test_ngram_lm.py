@@ -1,0 +1,89 @@
+"""Bigram LM (operators/ngram_lm.py): hand-computed tiny-corpus
+values, BOS semantics, empty-doc exclusion, partition invariance."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.ngram_lm import (
+    BOS,
+    bigram_lm_counts,
+    doc_bigrams,
+    score_docs_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_bigrams_bos_and_adjacency(spark, tiny):
+    rows = {
+        (r.doc_id, r.v, r.w)
+        for r in doc_bigrams(tiny).collect()
+    }
+    assert rows == {
+        (1, BOS, "a"),
+        (1, "a", "b"),
+        (1, "b", "a"),
+        (2, BOS, "a"),
+        (2, "a", "b"),
+    }
+
+
+def test_counts_and_vocab(spark, tiny):
+    counts, ctx, vocab = bigram_lm_counts(tiny)
+    c = {(r.v, r.w): r.c_vw for r in counts.collect()}
+    assert c == {(BOS, "a"): 2, ("a", "b"): 2, ("b", "a"): 1}
+    x = {r.v: r.c_v for r in ctx.collect()}
+    assert x == {BOS: 2, "a": 2, "b": 1}
+    assert vocab.head().v_size == 2  # {a, b}; BOS never a successor
+
+
+def test_scores_match_hand_computation(spark, tiny):
+    # alpha=0.5, V=2: P(a|<s>)=(2+.5)/(2+1)=5/6, P(b|a)=(2+.5)/(2+1)=5/6,
+    # P(a|b)=(1+.5)/(1+1)=3/4
+    out = {r.doc_id: r for r in score_docs_bigram_lm(tiny, alpha=0.5).collect()}
+    assert set(out) == {1, 2}  # blank + NULL docs produce no bigrams
+
+    def q(x):  # the operator's 9-dp fixed-point quantization
+        return math.trunc(x * 1e9 + math.copysign(0.5, x)) / 1e9
+
+    lp_case1 = [math.log(5 / 6), math.log(5 / 6), math.log(3 / 4)]
+    exp1 = sum(q(v) for v in lp_case1) / 3
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == pytest.approx(round(exp1, 6), abs=1e-9)
+    assert out[1].perplexity == pytest.approx(round(math.exp(-exp1), 6), abs=1e-9)
+
+    lp_case2 = [math.log(5 / 6), math.log(5 / 6)]
+    exp2 = sum(q(v) for v in lp_case2) / 2
+    assert out[2].n_bigrams == 2
+    assert out[2].avg_logprob == pytest.approx(round(exp2, 6), abs=1e-9)
+
+
+def test_partition_invariance(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    a = score_docs_bigram_lm(docs.repartition(1)).collect()
+    b = score_docs_bigram_lm(docs.repartition(7)).collect()
+    key = lambda r: r.doc_id
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_unseen_bigram_gets_smoothed_floor(spark):
+    # two docs; doc 2 ends with a bigram unseen elsewhere -> its prob
+    # uses c_vw for its own occurrence (counts include the whole
+    # corpus, so a bigram unique to one doc has c_vw = 1, never 0 when
+    # scoring the training corpus itself)
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x z")], "doc_id long, text string"
+    )
+    counts, ctx, vocab = bigram_lm_counts(docs)
+    assert vocab.head().v_size == 3  # {x, y, z}
+    out = {r.doc_id: r.avg_logprob for r in score_docs_bigram_lm(docs).collect()}
+    # symmetric corpus: both docs score identically
+    assert out[1] == out[2]

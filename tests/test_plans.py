@@ -374,10 +374,13 @@ _NLJ_WHITELIST = {
     "q22_sales_opportunity",  # TPC-H Q22 scalar average subquery
     "knn_cosine_top10",       # documented exact baseline: 5-query broadcast set
     "knn_bruteforce_multi",   # same 5-query broadcast exact baseline (multi-query)
+    "ann_lsh_recall",         # recall metric joins the same broadcast exact baseline
     "bm25_top_docs",          # 1-row corpus (N, avgdl) scalar build side
     "lineitem_price_histogram",  # 1-row min/max bounds build side
     "event_funnel_counts",    # three 1-row stage-count scalars joined
     "contamination_check_bloom",  # 1-row broadcast bloom-bitmap build side
+    "doc_lm_scores",          # 1-row vocabulary-size scalar build side
+    "lm_perplexity_outliers",  # same 1-row vocabulary scalar
 }
 
 
