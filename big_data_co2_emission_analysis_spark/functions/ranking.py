@@ -93,3 +93,81 @@ def bm25_scores(
     return scored.groupBy("__id").agg(
         F.sum("__s").alias("score"), F.count("*").alias("n_matched_terms")
     ).select(F.col("__id").alias(id_col), "score", "n_matched_terms")
+
+
+def ranked_topn(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n: int = 100,
+    descending: bool = True,
+) -> DataFrame:
+    """(id, rank) for the top-``n`` rows by ``score_col`` (ties broken
+    by ascending id -- fully deterministic across engines).
+
+    Scale shape: the top-n cut is ``orderBy + limit``
+    (TakeOrderedAndProject: per-partition heap + driver merge, never a
+    global sort), and only THEN does a row_number window run -- over at
+    most ``n`` rows, so the single-partition window is driver-bounded
+    by construction.  This is the standard fuse-per-retriever-list
+    shape: RRF combines bounded candidate lists, not full corpora.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    top = df.orderBy(*order).limit(n)
+    w = Window.orderBy(*order)
+    return top.select(
+        id_col, F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over named (id, rank) candidate lists:
+
+        rrf_score(d) = sum over lists L of 1 / (k + rank_L(d))
+
+    with documents absent from a list contributing nothing (the
+    standard RRF convention).  Returns (id, rrf_score, <name>_rank...)
+    with per-list ranks kept for interpretability; ``rrf_score`` is
+    rounded to 6 dp.
+
+    Determinism: each term ``1/(k + rank)`` is one IEEE division on an
+    integer rank and the terms are added in the (fixed) dict order of
+    ``rankings`` -- bit-identical on any engine, so the fusion is
+    fully oracle-able.
+
+    Scale shape: inputs are bounded candidate lists (see
+    :func:`ranked_topn`), so the full-outer joins move at most
+    ``n * len(rankings)`` rows.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for name, df in rankings.items():
+        side = df.select(
+            F.col(id_col), F.col("rank").cast("long").alias(f"{name}_rank")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"{name}_rank")).cast("double"),
+            F.lit(0.0),
+        )
+        for name in rankings
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return fused.select(
+        id_col,
+        F.round(score, 6).alias("rrf_score"),
+        *[f"{name}_rank" for name in rankings],
+    )

@@ -1019,10 +1019,9 @@ _BM25_TERMS = ("spark", "shuffle", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "bm25_top_docs",
-    oracle=f"""
-    WITH toks AS (
+#: shared BM25 SQL pipeline (also the lexical arm of the RRF hybrid)
+_BM25_SCORED_CTES = f"""
+    toks AS (
       SELECT doc_id, t.term
       FROM documents, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS t(term)
       WHERE t.term <> ''
@@ -1045,6 +1044,14 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats
     )
+"""
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH
+    {_BM25_SCORED_CTES}
     SELECT doc_id, ROUND(SUM(s), 6) AS score, COUNT(*) AS n_matched_terms
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id
@@ -1286,3 +1293,86 @@ def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("perplexity"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+# semantic ranking via Reciprocal Rank Fusion (functions/ranking.py
+# rrf_fuse).  Both arms cut to a deterministic top-100 candidate list
+# FIRST (TakeOrderedAndProject; the rank window then runs over <=100
+# rows, driver-bounded), so fusion cost is independent of corpus size
+# -- the RAG-retrieval shape at 100 TB.  Each RRF term is one IEEE
+# division on an integer rank, added in fixed order: bit-identical
+# cross-engine, so even the fused score is oracle-checked.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_LIST_N = 100
+
+
+@register(
+    "hybrid_rrf_top_docs",
+    oracle=f"""
+    WITH
+    {_BM25_SCORED_CTES},
+    lex AS (
+      SELECT doc_id, ROUND(SUM(s), 6) AS score
+      FROM scored GROUP BY doc_id
+    ),
+    lex_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex QUALIFY r <= {_RRF_LIST_N}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(
+                      LIST_ZIP(CAST(e.embedding AS DOUBLE[]), qv.v),
+                      p -> p[1] * p[2]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(qv.v, x -> x * x)))), 6) AS cosine
+      FROM embeddings e, qv
+      WHERE e.vec_id <> 0
+    ),
+    sem_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+      FROM sem QUALIFY r <= {_RRF_LIST_N}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.r), 0.0), 6) AS rrf_score,
+           l.r AS lex_rank,
+           s.r AS sem_rank
+    FROM lex_top l
+    FULL JOIN sem_top s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "ranking", "vector"),
+)
+def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by RRF fusion of a BM25 top-100 list (fixed
+    3-term query) and a cosine top-100 list (query = embedding of
+    vec_id 0, the knn_cosine_top10 convention, vec_id<->doc_id
+    aligned)."""
+    from ..functions.ranking import bm25_scores, ranked_topn, rrf_fuse
+    from .vector_queries import _dot, _emb, _sq_norm
+
+    lex_scores = bm25_scores(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    lex = ranked_topn(lex_scores, "score", n=_RRF_LIST_N)
+
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qv")))
+    )
+    sem_scores = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cosine, 6).alias("cosine"))
+    )
+    sem = ranked_topn(sem_scores, "cosine", n=_RRF_LIST_N)
+
+    fused = rrf_fuse({"lex": lex, "sem": sem}, k=_RRF_K)
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)

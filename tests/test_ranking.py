@@ -86,3 +86,39 @@ def test_bm25_plan_stays_native(corpus):
 
     plan = explain_formatted(bm25_scores(corpus, ["cat", "dog"]))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- RRF fusion (functions/ranking.py rrf_fuse / ranked_topn) ---------------
+
+
+def test_ranked_topn_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(3, 1.0), (1, 1.0), (2, 2.0), (4, 0.5)], "doc_id long, score double"
+    )
+    out = {r.doc_id: r.rank for r in __import__(
+        "big_data_co2_emission_analysis_spark.functions.ranking", fromlist=["ranked_topn"]
+    ).ranked_topn(df, "score", n=3).collect()}
+    # score desc, id asc: 2 -> 1, then tie (1.0): ids 1, 3
+    assert out == {2: 1, 1: 2, 3: 3}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from big_data_co2_emission_analysis_spark.functions.ranking import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    out = {r.doc_id: r for r in rrf_fuse({"lex": lex, "sem": sem}, k=60).collect()}
+    assert out[10].rrf_score == round(1 / 61, 6)
+    assert out[20].rrf_score == round(1 / 62 + 1 / 61, 6)
+    assert out[30].rrf_score == round(1 / 62, 6)
+    assert out[10].sem_rank is None and out[30].lex_rank is None
+    assert out[20].lex_rank == 2 and out[20].sem_rank == 1
+
+
+def test_rrf_fuse_requires_lists(spark):
+    from big_data_co2_emission_analysis_spark.functions.ranking import rrf_fuse
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse({})
