@@ -589,3 +589,72 @@ def dedup_by_components(
     return df.join(
         losers, df[id_col] == F.col("__loser"), "left_anti"
     )
+
+
+# -- incremental (cross-shard) dedup ----------------------------------------
+
+
+def incremental_dedup_status(
+    shard: DataFrame,
+    base_fingerprints: DataFrame,
+    text_col: str,
+    id_col: str,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Annotate an INCOMING shard against an already-curated corpus
+    without re-processing the corpus -- the steady-state shape of a
+    crawl pipeline (the curated corpus only ever ships its fingerprint
+    column, never its text).
+
+    Returns the shard with ``fp_col`` plus ``status``:
+
+    - ``'dup_of_base'``  -- fingerprint already in the curated corpus
+      (every shard copy gets this status)
+    - ``'dup_in_shard'`` -- new fingerprint, but a smaller ``id_col``
+      row in the same shard wins
+    - ``'kept'``         -- the shard's deterministic survivor
+
+    ``base_fingerprints`` must be a 1-column DataFrame of fingerprints
+    (pre-distinct; typically read straight from the corpus manifest).
+
+    Scale shape: ONE shuffle chain on the fingerprint -- the left join
+    against the base set hash-partitions both sides on ``fp_col``, and
+    the keep-min window reuses that partitioning (no second exchange
+    for the shard).  The base side moves only its fingerprint column.
+    """
+    from pyspark.sql import Window as W
+
+    fp_name = base_fingerprints.columns[0]
+    base = base_fingerprints.select(
+        F.col(fp_name).alias(fp_col), F.lit(True).alias("__in_base")
+    )
+    ann = shard.withColumn(fp_col, fingerprint(text_col)).join(base, fp_col, "left")
+    w = W.partitionBy(fp_col).orderBy(F.asc(id_col))
+    return (
+        ann.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("__in_base"), F.lit("dup_of_base"))
+            .when(F.col("__rn") > 1, F.lit("dup_in_shard"))
+            .otherwise(F.lit("kept")),
+        )
+        .drop("__in_base", "__rn")
+    )
+
+
+def incremental_dedup(
+    shard: DataFrame,
+    base_fingerprints: DataFrame,
+    text_col: str,
+    id_col: str,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """The survivors of :func:`incremental_dedup_status` (``'kept'``
+    rows only): shard docs that are new vs the curated corpus AND
+    unique within the shard, with their fingerprint attached (append
+    them to the corpus manifest to make the next increment's base)."""
+    return (
+        incremental_dedup_status(shard, base_fingerprints, text_col, id_col, fp_col)
+        .filter(F.col("status") == "kept")
+        .drop("status")
+    )

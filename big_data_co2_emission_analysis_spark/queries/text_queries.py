@@ -1376,3 +1376,93 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fused = rrf_fuse({"lex": lex, "sem": sem}, k=_RRF_K)
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-shard) dedup (operators/dedup.py
+# incremental_dedup*): the steady-state crawl-pipeline shape -- dedup
+# an incoming shard against the already-curated corpus using only the
+# corpus's fingerprint manifest, never its text.  Shard = doc_id % 10
+# == 0, base = the rest (a deterministic 10% "new crawl").
+# --------------------------------------------------------------------------
+_INC_DEDUP_CTES = r"""
+    fp AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    base AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    shard AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    ann AS (
+      SELECT s.doc_id, s.fingerprint,
+             CASE
+               WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
+               WHEN ROW_NUMBER() OVER (PARTITION BY s.fingerprint
+                                       ORDER BY s.doc_id) > 1 THEN 'dup_in_shard'
+               ELSE 'kept'
+             END AS status
+      FROM shard s LEFT JOIN base b ON s.fingerprint = b.fingerprint
+    )
+"""
+
+
+@register(
+    "incremental_shard_dedup",
+    oracle=f"""
+    WITH
+    {_INC_DEDUP_CTES}
+    SELECT doc_id, fingerprint
+    FROM ann WHERE status = 'kept'
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard docs that survive incremental dedup: new vs the curated
+    base AND unique within the shard (deterministic min-id survivor)."""
+    from ..operators.dedup import fingerprint, incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    base_fps = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    shard = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        incremental_dedup(shard, base_fps, "text", "doc_id")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "incremental_shard_dedup_stats",
+    oracle=f"""
+    WITH
+    {_INC_DEDUP_CTES}
+    SELECT status, COUNT(*) AS n_docs
+    FROM ann GROUP BY status
+    ORDER BY status
+    """,
+    tags=("text", "dedup"),
+)
+def incremental_shard_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status counts of the incremental shard dedup (kept /
+    dup_of_base / dup_in_shard) -- the monitoring rollup a pipeline
+    alerts on when a crawl batch is mostly duplicates."""
+    from ..operators.dedup import fingerprint, incremental_dedup_status
+
+    docs = _docs(spark, sf_dir)
+    base_fps = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    shard = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        incremental_dedup_status(shard, base_fps, "text", "doc_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )

@@ -210,3 +210,99 @@ def test_dedup_by_components_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in dedup_by_components(corpus, pairs, "doc_id").collect())
     # 0,1,3,4 all near-dup into one component -> survivor 0; 2 untouched
     assert kept == [0, 2]
+
+
+# -- incremental (cross-shard) dedup ----------------------------------------
+
+
+def test_incremental_dedup_status_matrix(spark):
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+        incremental_dedup_status,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "old corpus doc")], "doc_id long, text string"
+    )
+    base_fps = base.select(fingerprint("text").alias("fp")).distinct()
+    shard = spark.createDataFrame(
+        [
+            (10, "THE   cat sat"),   # normalizes to a base fingerprint
+            (11, "brand new doc"),   # kept
+            (12, "brand  NEW doc"),  # same normalized fp as 11 -> shard dup
+            (13, "another new one"), # kept
+        ],
+        "doc_id long, text string",
+    )
+    st = {
+        r.doc_id: r.status
+        for r in incremental_dedup_status(shard, base_fps, "text", "doc_id").collect()
+    }
+    assert st == {
+        10: "dup_of_base",
+        11: "kept",
+        12: "dup_in_shard",
+        13: "kept",
+    }
+    kept = sorted(
+        r.doc_id for r in incremental_dedup(shard, base_fps, "text", "doc_id").collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_base_dup_trumps_shard_dup(spark):
+    # both shard copies of a base fingerprint are dup_of_base, never
+    # one kept + one dup_in_shard
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup_status,
+    )
+
+    base = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    base_fps = base.select(fingerprint("text").alias("fp")).distinct()
+    shard = spark.createDataFrame(
+        [(10, "x y z"), (11, "x  y  z")], "doc_id long, text string"
+    )
+    st = {
+        r.doc_id: r.status
+        for r in incremental_dedup_status(shard, base_fps, "text", "doc_id").collect()
+    }
+    assert st == {10: "dup_of_base", 11: "dup_of_base"}
+
+
+def test_incremental_dedup_single_shuffle_chain(spark):
+    # the keep-min window must reuse the join's fingerprint
+    # partitioning: exactly one Exchange on the shard lineage
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+    )
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text ', CAST(id % 37 AS STRING)) AS text"
+    )
+    base_fps = docs.filter("doc_id % 2 = 0").select(
+        fingerprint("text").alias("fp")
+    ).distinct()
+    out = incremental_dedup(docs.filter("doc_id % 2 = 1"), base_fps, "text", "doc_id")
+    # the claim under test is the 100 TB shape where the base is too
+    # big to broadcast: force the shuffle-join path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_formatted(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # shard lineage: one Exchange feeding the join+window; base lineage
+    # adds its own exchanges (distinct + join) -- assert the window did
+    # not re-exchange: no Exchange node between Window and the join
+    import re
+
+    window_pos = plan.find("Window")
+    join_pos = plan.find("SortMergeJoin")
+    assert window_pos != -1 and join_pos != -1
+    between = plan[min(window_pos, join_pos): max(window_pos, join_pos)]
+    assert "Exchange" not in between, "window re-exchanged after the fp join"
