@@ -428,3 +428,113 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the PQ ANN path vs exact, per query."""
     return _ann_recall(spark, sf_dir, ann_pq_top10)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (operators/semdedup.py): cluster-then-prune semantic dedup.
+# Clustering = kmeans_deterministic (bit-exact oracle above), so the
+# WHOLE pipeline is value-verifiable: the oracle reads the proven
+# assignments from the expected table and replays pair generation,
+# thresholding, and the survivor rule in pure SQL.  Threshold 0.4
+# matches the fixture corpus (random embeddings, max pairwise cosine
+# ~0.51; production semantic dedup would use ~0.95).
+# --------------------------------------------------------------------------
+_SEMDEDUP_MIN_COS = 0.4
+_SEMDEDUP_CTES = f"""
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    j AS (
+      SELECT e.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), t -> t * t))) AS nrm
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    pairs0 AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(x.v, y.v), p -> p[1] * p[2]))
+                   / (x.nrm * y.nrm), 6) AS cosine
+      FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    pairs AS (SELECT * FROM pairs0 WHERE cosine >= {_SEMDEDUP_MIN_COS})
+"""
+
+
+def _semdedup_inputs(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = _det_kmeans(spark, sf_dir)
+    return emb, assignments
+
+
+@register(
+    "semdedup_pairs",
+    oracle=f"""
+    WITH
+    {_SEMDEDUP_CTES}
+    SELECT id_a, id_b, cluster, cosine
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "vector", "ml"),
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster cosine near-dup pairs under the deterministic
+    k-means clustering -- the SemDeDup candidate set."""
+    from ..operators.semdedup import semantic_dedup_pairs
+
+    emb, assignments = _semdedup_inputs(spark, sf_dir)
+    return semantic_dedup_pairs(
+        emb, assignments, min_cosine=_SEMDEDUP_MIN_COS
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "semdedup_survivors",
+    oracle=f"""
+    WITH
+    {_SEMDEDUP_CTES}
+    SELECT a.vec_id, a.cluster
+    FROM asg a
+    ANTI JOIN (SELECT DISTINCT id_b FROM pairs) d ON a.vec_id = d.id_b
+    ORDER BY a.vec_id
+    """,
+    tags=("dedup", "vector", "ml"),
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set: rows with no smaller-id within-cluster
+    neighbor at cosine >= threshold."""
+    from ..operators.semdedup import semantic_dedup_survivors
+
+    emb, assignments = _semdedup_inputs(spark, sf_dir)
+    return semantic_dedup_survivors(
+        emb, assignments, min_cosine=_SEMDEDUP_MIN_COS
+    ).orderBy("vec_id")
+
+
+@register(
+    "semdedup_cluster_stats",
+    oracle=f"""
+    WITH
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    sizes AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster)
+    SELECT COUNT(*) AS n_clusters,
+           CAST(SUM(CASE WHEN n > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_clusters,
+           CAST(SUM(CASE WHEN n > 10000 THEN n ELSE 0 END) AS BIGINT) AS n_skipped_rows,
+           MAX(n) AS max_cluster,
+           CAST(SUM(CASE WHEN n <= 10000 THEN n * (n - 1) / 2 ELSE 0 END) AS BIGINT) AS candidate_pairs
+    FROM sizes
+    """,
+    tags=("dedup", "vector", "ml", "metric"),
+)
+def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-population monitor for SemDeDup: pair-join volume about
+    to be paid + how much the max_cluster_size cap would drop."""
+    from ..operators.semdedup import semantic_cluster_stats
+
+    emb, assignments = _semdedup_inputs(spark, sf_dir)
+    return semantic_cluster_stats(emb, assignments, max_cluster_size=10_000)

@@ -1,0 +1,98 @@
+"""SemDeDup (operators/semdedup.py): planted-pair detection, survivor
+rule, chain semantics, hot-cluster cap, and the documented
+cross-cluster miss."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.semdedup import (
+    semantic_cluster_stats,
+    semantic_dedup_pairs,
+    semantic_dedup_survivors,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _asg(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, cluster int")
+
+
+def test_planted_pair_found_and_survivor_kept(spark):
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-dup of 1
+            (3, [0.0, 1.0]),      # orthogonal
+        ],
+    )
+    asg = _asg(spark, [(1, 0), (2, 0), (3, 0)])
+    pairs = semantic_dedup_pairs(emb, asg, min_cosine=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].cosine >= 0.99
+    kept = sorted(r.vec_id for r in semantic_dedup_survivors(emb, asg, min_cosine=0.95).collect())
+    assert kept == [1, 3]
+
+
+def test_chain_keeps_only_min(spark):
+    # a ~ b and b ~ c with a !~ c: keep-min drops BOTH b and c
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.98, 0.199]),  # cos(1,2) ~ 0.98
+            (3, [0.92, 0.392]),  # cos(2,3) ~ 0.98, cos(1,3) ~ 0.92
+        ],
+    )
+    asg = _asg(spark, [(1, 0), (2, 0), (3, 0)])
+    pairs = {(r.id_a, r.id_b) for r in semantic_dedup_pairs(emb, asg, min_cosine=0.95).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+    kept = sorted(r.vec_id for r in semantic_dedup_survivors(emb, asg, min_cosine=0.95).collect())
+    assert kept == [1]
+
+
+def test_cross_cluster_pair_missed_by_design(spark):
+    # identical vectors in DIFFERENT clusters are not paired -- the
+    # SemDeDup approximation this module documents
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0])])
+    asg = _asg(spark, [(1, 0), (2, 1)])
+    assert semantic_dedup_pairs(emb, asg, min_cosine=0.95).count() == 0
+    kept = sorted(r.vec_id for r in semantic_dedup_survivors(emb, asg, min_cosine=0.95).collect())
+    assert kept == [1, 2]
+
+
+def test_max_cluster_size_cap_and_stats(spark):
+    # cluster 0 has 3 rows (over cap 2) -> skipped entirely; cluster 1
+    # has a pair under the cap -> found
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.0]),
+            (10, [0.0, 1.0]),
+            (11, [0.0, 1.0]),
+        ],
+    )
+    asg = _asg(spark, [(1, 0), (2, 0), (3, 0), (10, 1), (11, 1)])
+    pairs = semantic_dedup_pairs(emb, asg, min_cosine=0.95, max_cluster_size=2).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(10, 11)]
+
+    stats = semantic_cluster_stats(emb, asg, max_cluster_size=2).head()
+    assert stats.n_clusters == 2
+    assert stats.n_skipped_clusters == 1
+    assert stats.n_skipped_rows == 3
+    assert stats.max_cluster == 3
+    assert stats.candidate_pairs == 1
+
+
+def test_threshold_is_on_rounded_cosine(spark):
+    # cosine rounds to 6 dp BEFORE thresholding: a pair at exactly the
+    # rounded threshold is kept
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0])])
+    asg = _asg(spark, [(1, 0), (2, 0)])
+    pairs = semantic_dedup_pairs(emb, asg, min_cosine=1.0).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in pairs] == [(1, 2, 1.0)]
