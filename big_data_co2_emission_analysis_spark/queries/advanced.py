@@ -1703,3 +1703,91 @@ def interval_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cols=["user_id"],
     )
     return pairs.select("p_event_id", "c_event_id").orderBy("p_event_id", "c_event_id")
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN <expr>): the
+# catalog-registered, pure-SQL scalar function -- unlike a Python UDF
+# it inlines into the Catalyst plan (codegen'd, pushdown-transparent),
+# so it is the 100 TB-safe way to share business expressions.  The
+# oracle inlines the identical CASE expression.
+# --------------------------------------------------------------------------
+@register(
+    "sql_udf_price_bands",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS band,
+             o_totalprice
+      FROM orders
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(TRUNC(o_totalprice * 1e2 + SIGN(o_totalprice * 1e2) * 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS total_price
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("sql", "udf"),
+)
+def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price bands via a catalog SQL UDF; grouped rollup over the
+    band label the UDF computes."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS price_band")
+    spark.sql(
+        """
+        CREATE TEMPORARY FUNCTION price_band(price DOUBLE) RETURNS STRING
+        RETURN CASE WHEN price < 50000 THEN 'low'
+                    WHEN price < 150000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               CAST(SUM({spark_sql_fx('o_totalprice', 2)}) AS DOUBLE) / 1e2 AS total_price
+        FROM orders
+        GROUP BY price_band(o_totalprice)
+        ORDER BY band
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 string collation: case-insensitive comparison semantics as a
+# TYPE property (collate(x, 'UNICODE_CI')) instead of lower() calls
+# scattered through every predicate.  The query manufactures a
+# case-diverse column from the fixture, then proves CI distinct-count
+# folds the variants; the oracle replays with LOWER().
+# --------------------------------------------------------------------------
+@register(
+    "collation_ci_distinct",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand) ELSE LOWER(p_brand) END AS brand_mixed
+      FROM part
+    )
+    SELECT COUNT(DISTINCT brand_mixed) AS n_case_sensitive,
+           COUNT(DISTINCT LOWER(brand_mixed)) AS n_case_insensitive
+    FROM mixed
+    """,
+    tags=("sql",),
+)
+def collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct brand count under binary vs UNICODE_CI collation: the
+    CI count folds the manufactured case variants (25 real brands from
+    50 case-mixed spellings)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed")
+    )
+    return mixed.agg(
+        F.count_distinct(F.col("brand_mixed")).alias("n_case_sensitive"),
+        F.count_distinct(
+            F.collate(F.col("brand_mixed"), "UNICODE_CI")
+        ).alias("n_case_insensitive"),
+    )

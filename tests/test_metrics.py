@@ -1,0 +1,65 @@
+"""observe() metrics (operators/metrics.py): observed values must
+equal an independent aggregation of the same input, with no second
+scan of the source."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_co2_emission_analysis_spark.operators.metrics import (
+    observe_metrics,
+    observe_row_health,
+)
+
+
+def test_observed_equals_independent_aggregate(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out, obs = observe_metrics(
+        orders,
+        "orders_obs",
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.sum("o_totalprice"),
+            "n_urgent": F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")),
+        },
+    )
+    n_out = out.filter(F.col("o_totalprice") > 0).count()  # any action
+    got = obs.get
+    ref = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("total"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("n_urgent"),
+    ).head()
+    assert got["n"] == ref.n
+    assert got["total"] == pytest.approx(ref.total)
+    assert got["n_urgent"] == ref.n_urgent
+    assert n_out > 0
+
+
+def test_row_health_null_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (None, None)],
+        "k int, v string",
+    )
+    out, obs = observe_row_health(df, "health")
+    out.count()
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["n_null_k"] == 2
+    assert got["n_null_v"] == 2
+
+
+def test_observe_requires_metrics(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        observe_metrics(df, "x", {})
+
+
+def test_metrics_ride_the_same_action(spark):
+    # the observation is attached to the plan, not a separate job:
+    # observing must not change the result
+    df = spark.range(100).selectExpr("id", "id % 7 AS g")
+    out, obs = observe_metrics(df, "ride", {"n": F.count(F.lit(1))})
+    agg = out.groupBy("g").count().orderBy("g").collect()
+    assert obs.get["n"] == 100
+    plain = df.groupBy("g").count().orderBy("g").collect()
+    assert agg == plain

@@ -460,3 +460,38 @@ def test_streaming_upsert_sink_torn_swap_recovery(spark, tmp_path, crash_point):
     assert got == [(1, 20, "b"), (2, 5, "c"), (3, 7, "d")]
     assert not os.path.exists(target + "__old")
     assert not os.path.exists(target + "__stage")
+
+
+def test_state_store_reader_exposes_agg_state(spark, tmp_path):
+    """Spark 4 state data source: after a stateful streaming aggregate
+    runs, `spark.read.format("statestore")` must expose the operator's
+    keyed state (and `state-metadata` its operator catalog) -- the
+    ops-debugging path for 100 TB streaming state, no checkpoint
+    spelunking required."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(1, "a"), (2, "a"), (3, "b")]
+    spark.createDataFrame(rows, "id long, g string").write.parquet(src)
+
+    stream = spark.readStream.schema("id long, g string").parquet(src)
+    agg = stream.groupBy("g").agg(F.count("*").alias("n"))
+    sink = f"statestore_sink_{os.getpid()}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = {r.operatorName for r in meta.collect()}
+    assert "stateStoreSave" in ops
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {r.key.g: r.value["count"] for r in state.collect()}
+    assert got == {"a": 2, "b": 1}
