@@ -1466,3 +1466,95 @@ def incremental_shard_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level duplication (operators/substrings.py): repeated
+# k-token windows corpus-wide + exact per-doc coverage of their
+# interval union -- the scalable stand-in for suffix-array substring
+# dedup.  k=5 suits the fixture doc lengths (the published pipelines
+# use ~50-token windows on web text).
+# --------------------------------------------------------------------------
+_SUBSTR_K = 5
+_SUBSTR_CTES = rf"""
+    norm AS (
+      SELECT doc_id,
+             list_filter(string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' '),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, CAST(t.i + 1 AS BIGINT) AS pos,
+             MD5(array_to_string(list_slice(toks, t.i + 1, t.i + {_SUBSTR_K}), ' ')) AS wh
+      FROM norm, UNNEST(range(0, GREATEST(len(toks) - {_SUBSTR_K - 1}, 0))) AS t(i)
+    ),
+    dup AS (SELECT wh, COUNT(*) AS n_occurrences FROM win GROUP BY wh HAVING COUNT(*) >= 2)
+"""
+
+
+@register(
+    "substring_dup_stats",
+    oracle=f"""
+    WITH
+    {_SUBSTR_CTES},
+    hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wh)),
+    swept AS (
+      SELECT doc_id, pos,
+             LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM hits
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN nxt IS NULL THEN {_SUBSTR_K}
+                           ELSE LEAST({_SUBSTR_K}, nxt - pos) END) AS BIGINT) AS covered_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM swept GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(len(toks) - {_SUBSTR_K - 1}, 0) AS BIGINT) AS n_windows
+      FROM norm
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_windows,
+           COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS dup_token_frac
+    FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication report: how many k-token
+    windows repeat corpus-wide and exactly how many tokens their
+    interval union covers (the cut a substring-dedup pass would make)."""
+    from ..operators.substrings import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), k=_SUBSTR_K).orderBy("doc_id")
+
+
+@register(
+    "substring_dup_hotspots",
+    oracle=f"""
+    WITH
+    {_SUBSTR_CTES}
+    SELECT wh, n_occurrences
+    FROM dup
+    ORDER BY n_occurrences DESC, wh
+    LIMIT 20
+    """,
+    tags=("text", "dedup"),
+)
+def substring_dup_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-repeated token windows (by hash) -- the boilerplate
+    monitor in front of substring dedup."""
+    from ..operators.substrings import duplicated_windows, window_postings
+
+    post = window_postings(_docs(spark, sf_dir), k=_SUBSTR_K)
+    return (
+        duplicated_windows(post)
+        .orderBy(F.desc("n_occurrences"), "wh")
+        .limit(20)
+    )
