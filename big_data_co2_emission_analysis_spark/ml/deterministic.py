@@ -151,3 +151,119 @@ def deterministic_kmeans(
         return out, centroids
     finally:
         base.unpersist()
+
+
+# -- deterministic logistic regression --------------------------------------
+
+
+def _algebraic_sigmoid(m):
+    """sigma_hat(m) = 0.5 * (1 + (m/2) / (1 + |m/2|)): a rational
+    sigmoid surrogate built ONLY from IEEE +,*,/,abs -- bit-identical
+    on every engine, unlike exp(), whose last ULP differs between
+    Java's Math.exp and libm and would break bit-exact replication.
+    Monotone, symmetric, range (0, 1), sigma_hat(0) = 0.5."""
+    h = m * F.lit(0.5)
+    return F.lit(0.5) * (F.lit(1.0) + h / (F.lit(1.0) + F.abs(h)))
+
+
+def _margin_expr(vec_col: str, weights: list[float], intercept: float):
+    """b + <w, x> as a sequential JVM-side fold (left-to-right over
+    array order, the replication-exact accumulation)."""
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), w_lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot + F.lit(float(intercept))
+
+
+def deterministic_logreg(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    y_col: str,
+    n_iter: int = 5,
+    lr: float = 0.5,
+    max_control_rows: int = 100_000,
+) -> tuple[DataFrame, list[float], float]:
+    """Full-batch gradient-descent logistic regression that is
+    partitioning-independent and bit-exactly replicable -- the
+    trainable quality-classifier stage of a data pipeline, made
+    verifiable the same way ``deterministic_kmeans`` makes clustering
+    verifiable:
+
+    - fixed iteration count, weights start at exact zero;
+    - the per-row probability uses the algebraic (rational) sigmoid,
+      IEEE-exact on any engine;
+    - gradient sums accumulate in DECIMAL(38,15) (order-independent),
+      one (dim+1)-row control plane per iteration (bounded by
+      ``max_control_rows``), and the driver applies
+      ``w -= lr * float(decimal_sum) / n`` -- one well-defined
+      rounding per coordinate per iteration.
+
+    ``y_col`` must be a 0/1 integer column.  Returns
+    (scores, weights, intercept): scores = (id, y, score, pred) with
+    ``score`` = sigma_hat(margin) rounded to 6 dp and ``pred`` =
+    (rounded score >= 0.5) as int -- thresholding on the ROUNDED value
+    so the cut is cross-engine reproducible.
+
+    Scale shape: each iteration is one scan + one map-side-combined
+    (dim+1)-cell aggregate; nothing per-row ever reaches the driver.
+    """
+    from pyspark import StorageLevel
+
+    dim_row = df.select(F.size(vec_col).alias("d")).head()
+    if dim_row is None:
+        raise ValueError("empty input")
+    dim = dim_row["d"]
+    if dim + 1 > max_control_rows:
+        raise ValueError(
+            f"dim+1 = {dim + 1} exceeds max_control_rows={max_control_rows}: "
+            "the per-iteration gradient control plane would not be "
+            "driver-bounded; reduce the vector width or raise the cap"
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(y_col).cast("double").alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("empty input")
+        weights = [0.0] * dim
+        intercept = 0.0
+        for _ in range(n_iter):
+            err = _algebraic_sigmoid(_margin_expr("v", weights, intercept)) - F.col("y")
+            # hoist err to a concrete column BEFORE the transform lambda:
+            # referencing the un-materialized expression inside the lambda
+            # would re-evaluate the O(dim) margin per element (O(dim^2)/row)
+            with_err = base.withColumn("__err", err)
+            terms = F.concat(
+                F.array(F.col("__err")),
+                F.transform("v", lambda x: F.col("__err") * x.cast("double")),
+            )
+            sums = (
+                with_err.select(F.posexplode(terms))
+                .groupBy("pos")
+                .agg(F.sum(F.col("col").cast(_DEC)).alias("s"))
+                .collect()
+            )
+            grad = {r["pos"]: float(Decimal(r["s"])) / n for r in sums}
+            intercept -= lr * grad[0]
+            weights = [w - lr * grad[p + 1] for p, w in enumerate(weights)]
+        score = F.round(
+            _algebraic_sigmoid(_margin_expr("v", weights, intercept)), 6
+        )
+        out = base.select(
+            F.col("id").alias(id_col),
+            F.col("y").cast("int").alias("y"),
+            score.alias("score"),
+            (score >= F.lit(0.5)).cast("int").alias("pred"),
+        )
+        out = out.localCheckpoint(eager=True)  # release the persist safely
+        return out, weights, intercept
+    finally:
+        base.unpersist()

@@ -538,3 +538,114 @@ def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, assignments = _semdedup_inputs(spark, sf_dir)
     return semantic_cluster_stats(emb, assignments, max_cluster_size=10_000)
+
+
+# --------------------------------------------------------------------------
+# Deterministic logistic regression (ml/deterministic.py
+# deterministic_logreg): the trainable quality-classifier stage, made
+# bit-exactly verifiable like the k-means above -- algebraic
+# (rational) sigmoid instead of exp(), DECIMAL(38,15) gradient sums,
+# fixed iteration count.  Target y = (label < 5), the balanced binary
+# split of the fixture's 10-way label; the fixture labels are random
+# w.r.t. the embeddings, so train accuracy is ~chance -- the oracle
+# verifies the TRAINING MECHANICS bit-for-bit, not model quality.
+# --------------------------------------------------------------------------
+def _det_logreg(spark: SparkSession, sf_dir: str):
+    from ..ml.deterministic import deterministic_logreg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "y_bin", (F.col("label") < 5).cast("int")
+    )
+    return deterministic_logreg(
+        emb, "vec_id", "embedding", "y_bin", n_iter=5, lr=0.5
+    )
+
+
+_LOGREG_WEIGHTS_SQL = f"""
+      SELECT pos, weight
+      FROM read_parquet('{_DEDUP_EXPECTED}/logreg_weights.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+"""
+
+_LOGREG_SCORED_CTES = f"""
+    w AS ({_LOGREG_WEIGHTS_SQL}),
+    wl AS (
+      SELECT (SELECT weight FROM w WHERE pos = 0) AS b,
+             (SELECT LIST(weight ORDER BY pos) FROM w WHERE pos > 0) AS ws
+    ),
+    m AS (
+      SELECT e.vec_id,
+             CAST(e.label < 5 AS INT) AS y,
+             wl.b + LIST_SUM(LIST_TRANSFORM(
+                      LIST_ZIP(CAST(e.embedding AS DOUBLE[]), wl.ws),
+                      p -> p[1] * p[2])) AS margin
+      FROM embeddings e CROSS JOIN wl
+    ),
+    scored AS (
+      SELECT vec_id, y,
+             ROUND(0.5 * (1.0 + (margin * 0.5) / (1.0 + ABS(margin * 0.5))), 6) AS score
+      FROM m
+    )
+"""
+
+
+@register(
+    "logreg_quality_weights",
+    oracle=f"""
+    SELECT pos, weight FROM ({_LOGREG_WEIGHTS_SQL})
+    ORDER BY pos
+    """,
+    tags=("ml", "vector"),
+)
+def logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained weights in long form (pos 0 = intercept) -- every double
+    matched BIT-EXACT by the pure-Python replication
+    (tools/gen_logreg_expected.py), proving the distributed decimal
+    gradient sums are order- and partitioning-independent."""
+    _, weights, intercept = _det_logreg(spark, sf_dir)
+    spark_df = spark.createDataFrame(
+        [(0, intercept)] + [(p + 1, w) for p, w in enumerate(weights)],
+        "pos int, weight double",
+    )
+    return spark_df.orderBy("pos")
+
+
+@register(
+    "logreg_quality_scores",
+    oracle=f"""
+    WITH
+    {_LOGREG_SCORED_CTES}
+    SELECT vec_id, y, score, CAST(score >= 0.5 AS INT) AS pred
+    FROM scored
+    ORDER BY vec_id
+    """,
+    tags=("ml", "vector"),
+)
+def logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row classifier score (rounded 6 dp) + thresholded
+    prediction; the oracle recomputes scores in SQL from the
+    replication-proven weights."""
+    scores, _, _ = _det_logreg(spark, sf_dir)
+    return scores.orderBy("vec_id")
+
+
+@register(
+    "logreg_quality_confusion",
+    oracle=f"""
+    WITH
+    {_LOGREG_SCORED_CTES}
+    SELECT y, CAST(score >= 0.5 AS INT) AS pred, COUNT(*) AS n
+    FROM scored
+    GROUP BY y, pred
+    ORDER BY y, pred
+    """,
+    tags=("ml", "vector", "metric"),
+)
+def logreg_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix rollup of the deterministic classifier."""
+    scores, _, _ = _det_logreg(spark, sf_dir)
+    return (
+        scores.groupBy("y", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "pred")
+    )
