@@ -112,6 +112,16 @@ HEADLINE = [
     "embedding_norms",
     # flagship composition: quality gate -> fingerprint dedup -> packing
     "curated_corpus_manifest",
+    # round-4 additions: one per new operator family -- bigram-LM
+    # perplexity scoring, RRF hybrid retrieval, incremental cross-shard
+    # dedup, SemDeDup (deterministic k-means + within-cluster prune),
+    # substring-duplication coverage, deterministic logreg scoring
+    "doc_lm_scores",
+    "hybrid_rrf_top_docs",
+    "incremental_shard_dedup",
+    "semdedup_pairs",
+    "substring_dup_stats",
+    "logreg_quality_scores",
 ]
 
 

@@ -489,3 +489,80 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+def ivf_search_assigned(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """IVF search over a PRE-ASSIGNED corpus with an explicit centroid
+    list -- quantizer-agnostic: feed it MLlib assignments or the
+    bit-exact ``ml.deterministic.deterministic_kmeans`` output.  With
+    the deterministic quantizer the WHOLE ANN search becomes
+    value-verifiable (probe choice included), which the MLlib-backed
+    ``ivf_topk`` can never be (rows-only by contract).
+
+    Determinism: probe distances AND cosines round to 6 dp BEFORE
+    their rank windows (ties then break on cell / corpus id), so rank
+    boundaries cannot flip on last-ULP float noise across engines.
+
+    Scale shape: identical to ``ivf_topk`` -- the centroid table rides
+    as a broadcast, each query probes ``nprobe`` cells, and the cell
+    equi-join scans only matching cell partitions.
+    """
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "qvec",
+        "cell",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.col("cvec"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", "cell", l2_norm(F.col("qvec")).alias("__qn"))
+    )
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("vec")
+    ).join(
+        assignments.select(F.col(corpus_id).alias("id"), F.col("cluster").alias("cell")),
+        "id",
+    ).withColumn("__cn", l2_norm(F.col("vec")))
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias(corpus_id),
+        F.round(
+            dot(F.col("vec"), F.col("qvec")) / (F.col("__cn") * F.col("__qn")), 6
+        ).alias("cosine"),
+    )
+    wr = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

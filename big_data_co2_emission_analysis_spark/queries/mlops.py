@@ -649,3 +649,86 @@ def logreg_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("y", "pred")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic IVF ANN (operators/similarity.py ivf_search_assigned on
+# the bit-exact k-means quantizer): unlike the MLlib-backed ann_ivf_*
+# (rows-only by contract), the WHOLE search -- probe selection
+# included -- is value-verified: the oracle recomputes probes and cell
+# scans in SQL from the replication-proven assignment + centroid
+# tables.
+# --------------------------------------------------------------------------
+_IVF_DET_NPROBE = 2
+
+
+@register(
+    "ann_ivf_det_top10",
+    oracle=f"""
+    WITH
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    cent AS (
+      SELECT cluster AS cell, LIST(value ORDER BY pos) AS cvec
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic_centroids.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+      GROUP BY cluster
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), t -> t * t))) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    pd AS (
+      SELECT q.qid, cent.cell,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, cent.cvec),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT qid, cell FROM pd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cell) <= {_IVF_DET_NPROBE}
+    ),
+    member AS (
+      SELECT e.vec_id, a.cluster AS cell, CAST(e.embedding AS DOUBLE[]) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), t -> t * t))) AS cn
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    scored AS (
+      SELECT p.qid AS query_id, m.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(m.v, q.qv), t -> t[1] * t[2]))
+                   / (m.cn * q.qn), 6) AS cosine
+      FROM probes p
+      JOIN member m ON m.cell = p.cell
+      JOIN q ON q.qid = p.qid
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("vector", "similarity", "ml"),
+)
+def ann_ivf_det_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 for the 5 standard queries over the deterministic
+    quantizer (corpus = all embeddings, nprobe=2 of 8 cells) -- the
+    oracle-checked twin of the rows-only MLlib IVF path."""
+    from ..operators.similarity import ivf_search_assigned
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, centroids = _det_kmeans(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_search_assigned(
+        emb, assignments, centroids, queries, k=10, nprobe=_IVF_DET_NPROBE
+    )
+    return out.orderBy("query_id", "rank")

@@ -376,6 +376,7 @@ _NLJ_WHITELIST = {
     "knn_bruteforce_multi",   # same 5-query broadcast exact baseline (multi-query)
     "ann_lsh_recall",         # recall metric joins the same broadcast exact baseline
     "hybrid_rrf_top_docs",    # 1-row scalar + 1-query broadcast semantic arm
+    "ann_ivf_det_top10",      # 8-row broadcast centroid probe (5-query set)
     "bm25_top_docs",          # 1-row corpus (N, avgdl) scalar build side
     "lineitem_price_histogram",  # 1-row min/max bounds build side
     "event_funnel_counts",    # three 1-row stage-count scalars joined

@@ -252,3 +252,56 @@ def test_pq_registry_recall_floor(spark, sf_dir):
     assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
     avg = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert avg >= 0.3, f"pq avg recall {avg}"
+
+
+def test_ivf_search_assigned_matches_bruteforce_when_probing_all(spark):
+    # nprobe = n_cells degenerates to exact search: results must equal
+    # the brute-force baseline
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_search_assigned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    assignments, centroids = deterministic_kmeans(
+        emb, "vec_id", "embedding", k=4, n_iter=3, seed=7
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ivf = ivf_search_assigned(
+        emb, assignments, centroids, queries, k=5, nprobe=4
+    )
+    bf = brute_force_topk(emb, queries, k=5, round_dp=6)
+    got = {(r.query_id, r.rank): r.vec_id for r in ivf.collect()}
+    exp = {(r.query_id, r.rank): r.vec_id for r in bf.collect()}
+    assert got == exp
+
+
+def test_ivf_search_assigned_scans_only_probed_cells(spark):
+    # with nprobe=1, every result's corpus row must belong to the
+    # query's nearest cell
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+    from big_data_co2_emission_analysis_spark.operators.similarity import (
+        ivf_search_assigned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    assignments, centroids = deterministic_kmeans(
+        emb, "vec_id", "embedding", k=4, n_iter=3, seed=7
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_search_assigned(emb, assignments, centroids, queries, k=5, nprobe=1)
+    asg = {r.vec_id: r.cluster for r in assignments.collect()}
+    cells_per_query = {}
+    for r in out.collect():
+        cells_per_query.setdefault(r.query_id, set()).add(asg[r.vec_id])
+    for cells in cells_per_query.values():
+        assert len(cells) == 1  # exactly the one probed cell

@@ -144,6 +144,38 @@ SHOWCASE = [
         "corpus scalars come back as broadcasts; the top-50 cut is "
         "TakeOrderedAndProject, not a global sort.",
     ),
+    (
+        "doc_lm_scores",
+        "Bigram LM scoring: pair construction is slice+zip+explode in "
+        "the scan stage (no window, no self-join); ONE shuffle builds "
+        "the vocabulary-bounded count table and ONE joins the bigram "
+        "stream back to it; context totals and the vocab scalar "
+        "broadcast; per-doc sums are fixed-point longs in codegen.",
+    ),
+    (
+        "incremental_shard_dedup",
+        "Incremental shard dedup: one shuffle chain on the fingerprint "
+        "-- the anti-ish left join against the base manifest "
+        "hash-partitions on the fingerprint and the keep-min window "
+        "REUSES that partitioning (no second exchange for the shard "
+        "side; asserted in tests/test_dedup.py).",
+    ),
+    (
+        "semdedup_pairs",
+        "SemDeDup: the pair join keys on the k-means cluster id, so "
+        "pair expansion is quadratic per cluster, never global; vector "
+        "norms are hoisted to a column before the join (one multiply "
+        "per pair side, not a fold); the assignment step is centroid "
+        "literals in a codegen'd projection -- no shuffle to assign.",
+    ),
+    (
+        "substring_dup_stats",
+        "Substring duplication: windows explode map-side; duplicated "
+        "windows come from one map-side-combined groupBy on the window "
+        "hash; the mark-back join is 1:1 per posting (NO pair "
+        "expansion, so boilerplate hot windows cost linear work); the "
+        "interval-union sweep is a per-doc window function.",
+    ),
 ]
 
 
