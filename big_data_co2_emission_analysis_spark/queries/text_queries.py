@@ -1558,3 +1558,102 @@ def substring_dup_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "wh")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship curation pipeline v2: FOUR stages composed -- token-count
+# quality gate -> bigram-LM perplexity filter (<= 31.0; a production
+# pipeline would derive the cut from a quantile, the fixed constant
+# keeps the oracle exact) -> fingerprint dedup -> concat-and-split
+# packing.  The oracle replays all four stages sequentially in SQL, so
+# one hash match certifies the whole curated manifest including the LM
+# training + scoring embedded in the middle.
+# --------------------------------------------------------------------------
+_CURATE_MAX_PPL = 31.0
+
+
+@register(
+    "curated_corpus_v2",
+    oracle=f"""
+    WITH
+    {_LM_BIGRAM_CTES},
+    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
+    lm_scored AS (
+      SELECT b.doc_id,
+             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
+      FROM big b
+      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
+      JOIN ctx x ON b.v = x.v
+      CROSS JOIN vocab
+    ),
+    ppl AS (
+      SELECT doc_id,
+             ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
+      FROM lm_scored GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, text,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    quality AS (
+      SELECT s.* FROM stats s JOIN ppl p USING (doc_id)
+      WHERE s.n >= 20 AND s.n <= 2000 AND p.perplexity <= {_CURATE_MAX_PPL}
+    ),
+    dedup AS (
+      SELECT doc_id, n FROM (
+        SELECT doc_id, n,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS s
+      FROM dedup WHERE n > 0
+    ),
+    e AS (SELECT doc_id, n, s, s + n AS fin FROM c),
+    x AS (
+      SELECT doc_id, s, fin,
+             UNNEST(generate_series(s // 512, (fin - 1) // 512)) AS seq_id
+      FROM e
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           GREATEST(seq_id * 512 - s, 0) AS doc_offset,
+           LEAST(fin, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512)
+             AS tokens_in_seq,
+           GREATEST(s - seq_id * 512, 0) AS seq_offset
+    FROM x ORDER BY seq_id, doc_id
+    """,
+    tags=("packing", "dedup", "text", "lm", "pipeline"),
+)
+def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curated_corpus_manifest + a bigram-LM perplexity gate between
+    the quality filter and dedup: the four-stage curation shape of a
+    real pretraining pipeline, certified end-to-end by one oracle."""
+    from ..operators.dedup import fingerprint_dedup
+    from ..operators.ngram_lm import score_docs_bigram_lm
+    from ..operators.packing import concat_split_pack
+
+    docs = _docs(spark, sf_dir)
+    ppl = score_docs_bigram_lm(docs, alpha=_LM_ALPHA).select("doc_id", "perplexity")
+    stats = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    quality = (
+        stats.join(ppl, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 2000)
+            & (F.col("perplexity") <= _CURATE_MAX_PPL)
+        )
+    )
+    deduped = fingerprint_dedup(quality, "text", "doc_id").select("doc_id", "n_tokens")
+    return concat_split_pack(deduped, "doc_id", "n_tokens", budget=512).orderBy(
+        "seq_id", "doc_id"
+    )
