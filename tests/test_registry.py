@@ -10,10 +10,12 @@ def test_registry_shape():
     qs, os_ = mod.queries(), mod.oracle_sql()
     assert len(qs) >= 50
     assert set(os_) <= set(qs)
-    # every oracle references at least one fixture table
+    # every oracle references a fixture table OR a committed expected
+    # table (replication oracles for generator sources / seeded
+    # pipelines read fixtures/expected_*/... parquet instead)
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for name, sql in os_.items():
-        assert any(t in sql for t in tables), name
+        assert any(t in sql for t in tables) or "fixtures/expected" in sql, name
 
 
 def test_entry_smoke(spark):
