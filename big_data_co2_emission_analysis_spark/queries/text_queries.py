@@ -1657,3 +1657,89 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_split_pack(deduped, "doc_id", "n_tokens", budget=512).orderBy(
         "seq_id", "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# RAG retrieval chain (functions/embedder.py): chunk -> embed ->
+# retrieve, composed and oracle-checked end to end.  The embedder is
+# the documented deterministic stub (md5 pseudo-projection) with the
+# real plumbing; chunking reuses the doc_chunks operator; retrieval is
+# the broadcast-query brute-force shape.  One oracle certifies the
+# whole chain.
+# --------------------------------------------------------------------------
+_RAG_QUERY_TEXT = "spark shuffle vector semantics"
+_RAG_DIM = 8
+_RAG_EMB_SQL = (
+    "LIST_TRANSFORM(range(0, {dim}), j -> "
+    "(CAST(CONCAT('0x', SUBSTR(MD5({expr} || ':' || j), 1, 12)) AS UBIGINT)::DOUBLE"
+    " / 140737488355328.0) - 1.0)"
+)
+
+
+@register(
+    "rag_chunk_retrieval",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             UNNEST(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE})) AS chunk_start,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1, {_CHUNK_STRIDE}),
+               i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + {_CHUNK_SIZE - 1}), ' '))) AS chunk_text
+      FROM toks
+    ),
+    emb AS (
+      SELECT doc_id, chunk_start,
+             {_RAG_EMB_SQL.format(dim=_RAG_DIM, expr='chunk_text')} AS ev
+      FROM chunks
+    ),
+    q AS (SELECT {_RAG_EMB_SQL.format(dim=_RAG_DIM, expr=f"'{_RAG_QUERY_TEXT}'")} AS qv),
+    scored AS (
+      SELECT e.doc_id, e.chunk_start,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.ev, q.qv), p -> p[1] * p[2]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(e.ev, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> x * x)))), 6) AS cosine
+      FROM emb e CROSS JOIN q
+    )
+    SELECT doc_id, chunk_start, cosine
+    FROM scored
+    ORDER BY cosine DESC, doc_id, chunk_start
+    LIMIT 5
+    """,
+    tags=("text", "vector", "chunking", "pipeline"),
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chunks by cosine to a fixed query under the deterministic
+    hash embedder: the chunk->embed->retrieve RAG chain in one
+    oracle-checked plan (chunking and scoring all map-side; the top-5
+    cut is TakeOrderedAndProject)."""
+    from ..functions.embedder import hash_embedding
+    from ..functions.text import token_chunks
+    from .vector_queries import _dot, _sq_norm
+
+    chunks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(token_chunks("text", _CHUNK_SIZE, _CHUNK_STRIDE)).alias("c"),
+        )
+        .select("doc_id", "c.chunk_start", "c.chunk_text")
+    )
+    emb = chunks.select(
+        "doc_id", "chunk_start", hash_embedding("chunk_text", _RAG_DIM).alias("ev")
+    )
+    q = spark.range(1).select(
+        hash_embedding(F.lit(_RAG_QUERY_TEXT), _RAG_DIM).alias("qv")
+    )
+    cosine = _dot(F.col("ev"), F.col("qv")) / (
+        F.sqrt(_sq_norm(F.col("ev"))) * F.sqrt(_sq_norm(F.col("qv")))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("doc_id", "chunk_start", F.round(cosine, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id", "chunk_start")
+        .limit(5)
+    )
