@@ -272,9 +272,14 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
     x = samples.astype(np.float64) / 32768.0
     n = max(len(x), 1)
     zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    # RMS via the exact integer sum of squared int16 samples: the sum
+    # is order-free, so the value is bit-identical on any host (see
+    # stable_norm) -- mathematically equal to sqrt(mean((k/32768)^2))
+    sq = int((samples.astype(np.int64) ** 2).sum()) if len(samples) else 0
+    rms = float(np.sqrt(sq / (len(samples) * 1073741824.0))) if len(samples) else 0.0
     return {
         "duration_ms": int(round(1000.0 * len(x) / sample_rate)),
-        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "rms": rms,
         "zero_crossing_rate": zc / n,
         "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
         "sample_rate": int(sample_rate),
@@ -334,18 +339,37 @@ def attach_media_columns(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def stable_norm(f: np.ndarray) -> float:
+    """L2 norm via exact fsum of squares -- MACHINE-independent, unlike
+    np.linalg.norm, whose SIMD-dispatched accumulation order (AVX2 vs
+    AVX512) can differ in the last ULPs across hosts.  The committed
+    expected tables (tools/gen_multimodal_expected.py) must reproduce
+    on any machine, so every float reduction feeding them goes through
+    exact integer/fsum arithmetic (this regressed once: a container
+    move flipped a handful of np.linalg.norm last-bits and broke the
+    multimodal_features oracle)."""
+    import math
+
+    return math.sqrt(math.fsum(float(x) * float(x) for x in f))
+
+
 def bmp_features(pixels: np.ndarray) -> np.ndarray:
     """(H, W, 3) RGB -> FEATURE_DIM pixel features: a 4x4 grid of
     grayscale block means in [0, 1] (resolution-independent, so images
-    of different sizes land in the same feature space)."""
-    gray = pixels.mean(axis=2)
-    h, w = gray.shape
+    of different sizes land in the same feature space).
+
+    Block means accumulate in exact INTEGER space (sum of uint8
+    channels), with a single float division at the end -- the result
+    is bit-identical on any host (see :func:`stable_norm`)."""
+    sums = pixels.astype(np.int64).sum(axis=2)  # exact per-pixel RGB sum
+    h, w = sums.shape
     out = np.empty(FEATURE_DIM, dtype=np.float32)
     for i in range(4):
         for j in range(4):
-            block = gray[i * h // 4 : max((i + 1) * h // 4, i * h // 4 + 1),
+            block = sums[i * h // 4 : max((i + 1) * h // 4, i * h // 4 + 1),
                          j * w // 4 : max((j + 1) * w // 4, j * w // 4 + 1)]
-            out[i * 4 + j] = block.mean() / 255.0
+            total = int(block.sum())  # exact, order-free
+            out[i * 4 + j] = total / (block.size * 3 * 255.0)
     return out
 
 
@@ -391,7 +415,7 @@ def extract_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "features": [f.tolist() for f in feats],
-                    "feat_norm": [float(np.linalg.norm(f)) for f in feats],
+                    "feat_norm": [stable_norm(f) for f in feats],
                 }
             )
 
@@ -684,7 +708,7 @@ def extract_features_arrow(df: DataFrame, fake_decode: bool = False) -> DataFram
                         [f.tolist() for f in feats], type=pa.list_(pa.float32())
                     ),
                     "feat_norm": pa.array(
-                        [float(np.linalg.norm(f)) for f in feats], type=pa.float64()
+                        [stable_norm(f) for f in feats], type=pa.float64()
                     ),
                 }
             )

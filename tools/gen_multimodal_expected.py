@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from big_data_co2_emission_analysis_spark.operators.jpeg import encode_jpeg  # noqa: E402
 from big_data_co2_emission_analysis_spark.operators.multimodal import (  # noqa: E402
     audio_features,
+    stable_norm,
     bmp_features,
     decode_bmp,
     decode_image_batch,
@@ -74,7 +75,7 @@ def main() -> None:
     rows = []
     for i in ids:
         f = bmp_features(decode_bmp(payloads[i]))
-        rows.append((i, float(np.linalg.norm(f)), len(f)))
+        rows.append((i, stable_norm(f), len(f)))
     write(
         "features",
         pd.DataFrame(rows, columns=["doc_id", "feat_norm", "feat_dim"]),
@@ -161,7 +162,7 @@ def main() -> None:
         else:
             p, fmt = encode_jpeg(px, quality=90), "jpeg"
         f = decode_image_batch([p])[0]
-        rows.append((i, fmt, float(np.linalg.norm(f))))
+        rows.append((i, fmt, stable_norm(f)))
     write(
         "mixed_formats",
         pd.DataFrame(rows, columns=["doc_id", "format", "feat_norm"]),
