@@ -64,3 +64,26 @@ def test_separated_clusters_recovered(spark):
     low = {rows[i] for i in range(10)}
     high = {rows[100 + i] for i in range(10)}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_cached_assignments_equal_fresh(spark, tmp_path, monkeypatch):
+    """The fingerprint-keyed cache in queries.mlops._det_kmeans must be
+    value-transparent: cached assignments/centroids == a fresh train."""
+    import big_data_co2_emission_analysis_spark.queries.mlops as mlops
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    a1, c1 = mlops._det_kmeans(spark, sf_dir)          # build + write
+    a2, c2 = mlops._det_kmeans(spark, sf_dir)          # cache hit
+    assert c1 == c2
+    rows1 = sorted((r.vec_id, r.cluster) for r in a1.collect())
+    rows2 = sorted((r.vec_id, r.cluster) for r in a2.collect())
+    assert rows1 == rows2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fresh, cf = deterministic_kmeans(emb, "vec_id", "embedding", k=8, n_iter=5, seed=42)
+    assert cf == c1
+    assert sorted((r.vec_id, r.cluster) for r in fresh.collect()) == rows1
