@@ -96,3 +96,21 @@ def test_threshold_is_on_rounded_cosine(spark):
     asg = _asg(spark, [(1, 0), (2, 0)])
     pairs = semantic_dedup_pairs(emb, asg, min_cosine=1.0).collect()
     assert [(r.id_a, r.id_b, r.cosine) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_gemm_and_native_backends_agree(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+
+    asg, _ = deterministic_kmeans(emb, "vec_id", "embedding", k=4, n_iter=3, seed=7)
+    a = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cosine)
+        for r in semantic_dedup_pairs(emb, asg, min_cosine=0.3, backend="gemm").collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cosine)
+        for r in semantic_dedup_pairs(emb, asg, min_cosine=0.3, backend="native").collect()
+    )
+    assert a == b
