@@ -62,7 +62,11 @@ def embed_map_in_pandas(
     """Append an embedding column via ``mapInPandas`` -- the
     model-embedder plumbing shape: Arrow batches stream through a
     Python worker that would hold the model; here it applies the
-    deterministic fake so the pipeline is testable end-to-end."""
+    deterministic fake so the pipeline is testable end-to-end.
+
+    ``text_col`` must be non-null (filter first): the native path
+    yields NULL components for NULL text while pandas stringifies it,
+    so parity is only defined over non-null rows."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     # StructType.add mutates the receiver -- never call it on df.schema

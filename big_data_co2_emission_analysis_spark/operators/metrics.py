@@ -23,16 +23,22 @@ from pyspark.sql import functions as F
 
 def observe_metrics(
     df: DataFrame, name: str, metrics: dict[str, Column]
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach named aggregate ``metrics`` to ``df``'s next action.
 
-    Returns (df, observation); read ``observation.get`` AFTER an
-    action on the returned DataFrame completes (it blocks until then).
+    Batch: returns (df, observation); read ``observation.get`` AFTER
+    an action on the returned DataFrame completes (it blocks until
+    then).  Streaming: ``Observation`` objects are batch-only, so the
+    metrics attach under the string ``name`` and the returned
+    observation is None -- read them per microbatch from
+    ``StreamingQueryProgress.observedMetrics[name]``.
     """
     if not metrics:
         raise ValueError("metrics must be non-empty")
-    obs = Observation(name)
     cols = [c.alias(n) for n, c in metrics.items()]
+    if df.isStreaming:
+        return df.observe(name, *cols), None
+    obs = Observation(name)
     return df.observe(obs, *cols), obs
 
 

@@ -21,6 +21,13 @@ never OOM); ``semantic_cluster_stats`` is the monitoring companion.
 Approximation note (inherent to SemDeDup, not this implementation):
 pairs split across cluster boundaries are missed; recall vs exact
 all-pairs is what the planted-pair test pins.
+
+Quantizer-size note: ``deterministic_kmeans`` rides its centroids as
+plan literals, which is exact and shuffle-free but caps practical k at
+a few hundred (k*dim literals in one projection).  At the 50k-cell
+scale SemDeDup uses on web corpora, swap the assignment step for a
+broadcast centroid JOIN (the ``ivf_topk`` probe shape) -- the rest of
+this module is agnostic to where ``assignments`` came from.
 """
 
 from __future__ import annotations

@@ -63,3 +63,41 @@ def test_metrics_ride_the_same_action(spark):
     assert obs.get["n"] == 100
     plain = df.groupBy("g").count().orderBy("g").collect()
     assert agg == plain
+
+
+def test_streaming_observed_metrics(spark, tmp_path):
+    """The streaming twin: observe() metrics surface per microbatch in
+    StreamingQueryProgress.observedMetrics."""
+    import os
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    observed, _none = observe_metrics(
+        stream,
+        "stream_health",
+        {"n_rows": F.count(F.lit(1)), "n_null_v": F.sum(F.col("v").isNull().cast("long"))},
+    )
+    sink = f"obs_sink_{os.getpid()}"
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = None
+        for p in q.recentProgress:
+            m = p["observedMetrics"].get("stream_health") if p["observedMetrics"] else None
+            if m is not None:
+                got = m
+        assert got is not None, "no observedMetrics in any progress"
+        assert got["n_rows"] == 3
+        assert got["n_null_v"] == 1
+    finally:
+        q.stop()
