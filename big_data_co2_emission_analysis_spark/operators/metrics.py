@@ -44,11 +44,14 @@ def observe_metrics(
 
 def observe_row_health(
     df: DataFrame, name: str = "row_health", columns: list[str] | None = None
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """The standard write-job health block: total row count plus a
     null count per column (all computed inside the action's own scan).
 
-    ``columns`` defaults to every top-level column of ``df``.
+    ``columns`` defaults to every top-level column of ``df``.  On a
+    streaming DataFrame the observation is None (read the metrics from
+    StreamingQueryProgress.observedMetrics -- see
+    :func:`observe_metrics`).
     """
     cols = columns if columns is not None else df.columns
     metrics: dict[str, Column] = {"n_rows": F.count(F.lit(1))}

@@ -46,9 +46,12 @@ from pyspark.sql import functions as F
 
 from ..queries._exact import fx, unfx
 
-#: beginning-of-sentence marker; cannot collide with real tokens because
-#: the tokenizer splits on whitespace and lowercases (no '<' fusion with
-#: adjacent text once whitespace-split).
+#: beginning-of-sentence marker.  KNOWN CONFLATION: a document whose
+#: text contains a literal whitespace-delimited '<s>' token merges it
+#: with the sentence-start marker (inflating c(<s>) slightly).  Natural
+#: text essentially never tokenizes to a bare '<s>'; escaping it would
+#: complicate both engines' tokenizers for no practical gain, so the
+#: conflation is accepted and documented rather than hidden.
 BOS = "<s>"
 
 #: log-prob quantization scale (decimal places) for the associative sum

@@ -32,38 +32,24 @@ this module is agnostic to where ``assignments`` came from.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _sq_norm(col: Column) -> Column:
-    return F.aggregate(
-        F.transform(col, lambda x: x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x * x,
-    )
+# the sequential-fold dot/norm expressions are shared with the ANN
+# module -- a single definition keeps cross-module bit-exactness
+from .similarity import dot as _dot
+from .similarity import l2_norm as _l2_norm
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _clustered(
+def _members(
     emb: DataFrame,
     assignments: DataFrame,
     id_col: str,
     vec_col: str,
     cluster_col: str,
-    max_cluster_size: int | None,
 ) -> DataFrame:
-    """(id, v, norm, cluster) with over-cap clusters dropped; the norm
-    is hoisted here so the pair join computes one multiply, not a
-    fold, per side."""
-    joined = emb.select(
+    """(id, v, cluster) for every assigned row -- no cap, no filters."""
+    return emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).join(
         assignments.select(
@@ -71,12 +57,29 @@ def _clustered(
         ),
         "id",
     )
+
+
+def _pair_search_input(
+    emb: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """(id, v, cluster) restricted to the rows the PAIR SEARCH may
+    touch: over-cap clusters are dropped (skip + monitor -- their rows
+    stay in the survivor set unexamined), and zero-norm vectors are
+    excluded because cosine is undefined for them (both backends and
+    the SQL oracle apply the identical rule, so no NaN-comparison
+    semantics can diverge)."""
+    joined = _members(emb, assignments, id_col, vec_col, cluster_col)
     if max_cluster_size is not None:
         sizes = joined.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
         joined = joined.join(
             F.broadcast(sizes.filter(F.col("__n") <= max_cluster_size)), "cluster"
         ).drop("__n")
-    return joined.withColumn("norm", F.sqrt(_sq_norm(F.col("v"))))
+    return joined.filter(_l2_norm(F.col("v")) > 0)
 
 
 def semantic_dedup_pairs(
@@ -92,7 +95,8 @@ def semantic_dedup_pairs(
     """(id_a, id_b, cluster, cosine) for within-cluster pairs with
     cosine >= ``min_cosine`` (id_a < id_b; cosine rounded to 6 dp
     BEFORE the threshold so float last-bits cannot flip membership
-    across engines).
+    across engines).  Over-cap clusters and zero-norm vectors are
+    excluded from the search (see :func:`_pair_search_input`).
 
     ``assignments`` is (id_col, cluster_col) -- typically the output of
     ``ml.deterministic.deterministic_kmeans``.
@@ -102,16 +106,35 @@ def semantic_dedup_pairs(
     Arrow path; per-pair higher-order-function folds are interpreted,
     and at ~250-row clusters the GEMM is ~4x faster end-to-end
     (measured at sf0.1).  ``backend='native'`` keeps the pure-Catalyst
-    expression pipeline (the semantics twin; parity-tested).  Both
-    round to 6 dp before thresholding, so they agree exactly except on
-    sub-1e-12 knife edges that 6-dp rounding absorbs.  Memory per task
-    is bounded by ``max_cluster_size``^2 pair candidates -- the same
-    cap that bounds the native join's expansion.
+    expression pipeline (the semantics twin; parity-tested).  The gemm
+    path replays Spark's exact HALF_UP-on-shortest-repr rounding on
+    the boundary candidates (np.round is half-to-even and WOULD
+    diverge on values like 0.4000005), so both backends agree with the
+    oracle bit-for-bit except on sub-1e-12 dot-order knife edges that
+    6-dp rounding absorbs.  Memory per task is bounded by
+    ``max_cluster_size``^2 pair candidates -- the same cap that bounds
+    the native join's expansion.
     """
-    left = _clustered(emb, assignments, id_col, vec_col, cluster_col, max_cluster_size)
+    left = _pair_search_input(
+        emb, assignments, id_col, vec_col, cluster_col, max_cluster_size
+    )
     if backend == "gemm":
+        from decimal import ROUND_HALF_UP, Decimal
+
         import numpy as np
         import pandas as pd
+
+        id_type = emb.schema[id_col].dataType.simpleString()
+        cl_type = assignments.schema[cluster_col].dataType.simpleString()
+        out_schema = (
+            f"id_a {id_type}, id_b {id_type}, cluster {cl_type}, cosine double"
+        )
+        q6 = Decimal("1e-6")
+
+        def _round6(x: float) -> float:
+            # Spark F.round on double: HALF_UP on the shortest decimal
+            # repr (BigDecimal.valueOf == Python repr)
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
         def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             V = np.stack(
@@ -123,28 +146,35 @@ def semantic_dedup_pairs(
             n = np.sqrt((V * V).sum(axis=1))
             cos = (V @ V.T) / np.outer(n, n)
             iu, ju = np.triu_indices(len(ids), k=1)
-            c = np.round(cos[iu, ju], 6)
-            keep = c >= min_cosine
+            raw = cos[iu, ju]
+            # slack prefilter one quantum below the cut, then exact
+            # Spark-rounding on the candidates only
+            cand = raw >= (min_cosine - 1e-6)
+            rounded = np.fromiter(
+                (_round6(x) for x in raw[cand]), dtype=np.float64
+            )
+            keep = rounded >= min_cosine
             return pd.DataFrame(
                 {
-                    "id_a": ids[iu[keep]],
-                    "id_b": ids[ju[keep]],
+                    "id_a": ids[iu[cand][keep]],
+                    "id_b": ids[ju[cand][keep]],
                     "cluster": pdf["cluster"].iloc[0],
-                    "cosine": c[keep],
+                    "cosine": rounded[keep],
                 }
             )
 
-        return left.groupBy("cluster").applyInPandas(
-            _pairs, "id_a long, id_b long, cluster int, cosine double"
-        )
+        return left.groupBy("cluster").applyInPandas(_pairs, out_schema)
 
-    a = left.select(
+    # norm hoisted only on the native path (the gemm path computes its
+    # own in numpy): one multiply, not a fold, per pair side
+    withn = left.withColumn("norm", _l2_norm(F.col("v")))
+    a = withn.select(
         "cluster",
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("norm").alias("na"),
     )
-    b = left.select(
+    b = withn.select(
         "cluster",
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
@@ -169,20 +199,33 @@ def semantic_dedup_survivors(
     cluster_col: str = "cluster",
     min_cosine: float = 0.95,
     max_cluster_size: int | None = 10_000,
+    backend: str = "gemm",
 ) -> DataFrame:
     """Keep-min SemDeDup: drop every row that has a within-cluster
     neighbor with a SMALLER id at cosine >= ``min_cosine``; survivors
     are (id, cluster).  On a chain a~b~c (a !~ c) both b and c drop --
     the deterministic one-survivor-per-duplicate-neighborhood rule.
+
+    The survivor base is EVERY assigned row -- rows of over-cap
+    (skipped) clusters and zero-norm rows are kept UNEXAMINED, never
+    silently deleted; only the pair search is capped (skip + monitor).
     Implemented as an anti-join against the pair list's ``id_b`` side
-    (one extra shuffle over the pair set, which is tiny post-threshold).
+    (one extra shuffle over the pair set, which is tiny
+    post-threshold).
     """
     pairs = semantic_dedup_pairs(
-        emb, assignments, id_col, vec_col, cluster_col, min_cosine, max_cluster_size
+        emb,
+        assignments,
+        id_col,
+        vec_col,
+        cluster_col,
+        min_cosine,
+        max_cluster_size,
+        backend,
     )
-    members = _clustered(
-        emb, assignments, id_col, vec_col, cluster_col, max_cluster_size
-    ).select("id", "cluster")
+    members = _members(emb, assignments, id_col, vec_col, cluster_col).select(
+        "id", "cluster"
+    )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return members.join(dropped, "id", "left_anti").select(
         F.col("id").alias(id_col), F.col("cluster").alias(cluster_col)

@@ -473,10 +473,15 @@ _SEMDEDUP_CTES = f"""
       FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
       WHERE corpus_md5 = {_EMB_MD5_SQL}
     ),
+    sizes AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster),
     j AS (
       SELECT e.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
              SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), t -> t * t))) AS nrm
-      FROM embeddings e JOIN asg a USING (vec_id)
+      FROM embeddings e
+      JOIN asg a USING (vec_id)
+      JOIN sizes s ON a.cluster = s.cluster
+      WHERE s.n <= 10000  -- max_cluster_size: over-cap clusters skipped
+        AND SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), t -> t * t))) > 0
     ),
     pairs0 AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,

@@ -1195,6 +1195,21 @@ _LM_BIGRAM_CTES = r"""
     counts AS (SELECT v, w, COUNT(*) AS c_vw FROM big GROUP BY 1, 2)
 """
 
+#: shared LM scoring CTEs (context totals, vocab, per-bigram fixed-point
+#: log-probs) -- single definition so the three LM oracles cannot drift
+_LM_SCORED_CTES = f"""
+    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
+    lm_scored AS (
+      SELECT b.doc_id,
+             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
+      FROM big b
+      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
+      JOIN ctx x ON b.v = x.v
+      CROSS JOIN vocab
+    )
+"""
+
 
 @register(
     "lm_top_bigrams",
@@ -1222,21 +1237,12 @@ def lm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH
     {_LM_BIGRAM_CTES},
-    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
-    scored AS (
-      SELECT b.doc_id,
-             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
-      FROM big b
-      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
-      JOIN ctx x ON b.v = x.v
-      CROSS JOIN vocab
-    )
+    {_LM_SCORED_CTES}
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
            ROUND(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*), 6) AS avg_logprob,
            ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
-    FROM scored
+    FROM lm_scored
     GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -1259,21 +1265,12 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH
     {_LM_BIGRAM_CTES},
-    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
-    scored AS (
-      SELECT b.doc_id,
-             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
-      FROM big b
-      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
-      JOIN ctx x ON b.v = x.v
-      CROSS JOIN vocab
-    ),
+    {_LM_SCORED_CTES},
     per_doc AS (
       SELECT doc_id,
              COUNT(*) AS n_bigrams,
              ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
-      FROM scored GROUP BY doc_id
+      FROM lm_scored GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, perplexity
     FROM per_doc
@@ -1577,16 +1574,7 @@ _CURATE_MAX_PPL = 31.0
     oracle=f"""
     WITH
     {_LM_BIGRAM_CTES},
-    ctx AS (SELECT v, SUM(c_vw) AS c_v FROM counts GROUP BY 1),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v_size FROM counts),
-    lm_scored AS (
-      SELECT b.doc_id,
-             {sql_fx(f"LN((COALESCE(c.c_vw, 0) + {_LM_ALPHA}) / (x.c_v + {_LM_ALPHA} * vocab.v_size))", 9)} AS lp_fx
-      FROM big b
-      LEFT JOIN counts c ON b.v = c.v AND b.w = c.w
-      JOIN ctx x ON b.v = x.v
-      CROSS JOIN vocab
-    ),
+    {_LM_SCORED_CTES},
     ppl AS (
       SELECT doc_id,
              ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity

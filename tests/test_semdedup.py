@@ -114,3 +114,43 @@ def test_gemm_and_native_backends_agree(spark, sf_dir):
         for r in semantic_dedup_pairs(emb, asg, min_cosine=0.3, backend="native").collect()
     )
     assert a == b
+
+
+def test_skipped_cluster_rows_survive_unexamined(spark):
+    # over-cap clusters are excluded from the PAIR SEARCH only: their
+    # rows must all remain in the survivor set (skip + monitor, never
+    # silent deletion)
+    emb = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+         (10, [0.0, 1.0]), (11, [0.0, 1.0])],
+    )
+    asg = _asg(spark, [(1, 0), (2, 0), (3, 0), (10, 1), (11, 1)])
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup_survivors(
+            emb, asg, min_cosine=0.95, max_cluster_size=2
+        ).collect()
+    )
+    # cluster 0 (3 rows, over cap): all survive; cluster 1: 11 drops
+    assert kept == [1, 2, 3, 10]
+
+
+def test_zero_norm_vectors_excluded_from_pairs_but_survive(spark):
+    emb = _emb(
+        spark,
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, [1.0, 0.0])],
+    )
+    asg = _asg(spark, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    for backend in ("gemm", "native"):
+        pairs = [
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                emb, asg, min_cosine=0.95, backend=backend
+            ).collect()
+        ]
+        assert pairs == [(3, 4)], backend
+    kept = sorted(
+        r.vec_id for r in semantic_dedup_survivors(emb, asg, min_cosine=0.95).collect()
+    )
+    assert kept == [1, 2, 3]  # zero-norm rows survive; 4 deduped
