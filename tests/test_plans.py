@@ -383,6 +383,8 @@ _NLJ_WHITELIST = {
     "contamination_check_bloom",  # 1-row broadcast bloom-bitmap build side
     "doc_lm_scores",          # 1-row vocabulary-size scalar build side
     "lm_perplexity_outliers",  # same 1-row vocabulary scalar
+    "curated_corpus_v2",      # same 1-row vocabulary scalar (LM stage inside)
+    "rag_chunk_retrieval",    # 1-row broadcast query-embedding build side
 }
 
 
