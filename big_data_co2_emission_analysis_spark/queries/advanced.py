@@ -9,6 +9,7 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints in mo
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import datetime
 import os as _os
 
 from ..operators.joins import as_of_join
@@ -1790,4 +1791,100 @@ def collation_ci_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(
             F.collate(F.col("brand_mixed"), "UNICODE_CI")
         ).alias("n_case_insensitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 / modern-SQL ergonomics, each oracle-checked: GROUP BY ALL +
+# ORDER BY ALL (grouping keys inferred from the select list), lateral
+# column aliases (reference an alias later in the same SELECT), and
+# parameterized SQL (spark.sql(sql, args) -- injection-safe literals
+# through the parser, not string formatting).
+# --------------------------------------------------------------------------
+@register(
+    "group_by_all_status_flag",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           (CAST(SUM({sql_fx('l_quantity', 2)}) AS DOUBLE) / 1e2) AS total_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql",),
+)
+def group_by_all_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL: same Catalyst aggregate as the
+    explicit form -- pure parser sugar, proven by the oracle hash."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM({spark_sql_fx('l_quantity', 2)}) AS DOUBLE) / 1e2 AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "lateral_alias_price_tiers",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             o_totalprice * 0.9 AS discounted,
+             CASE WHEN o_totalprice * 0.9 > 150000 THEN 'big' ELSE 'small' END AS tier
+      FROM orders
+    )
+    SELECT tier, COUNT(*) AS n_orders
+    FROM t GROUP BY tier ORDER BY tier
+    """,
+    tags=("sql",),
+)
+def lateral_alias_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias: ``discounted`` defined and then REUSED in
+    the same SELECT list (no subquery, no repetition) -- resolves to
+    the identical plan as the expanded form the oracle runs."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT tier, COUNT(*) AS n_orders
+        FROM (
+          SELECT o_orderkey,
+                 o_totalprice * 0.9 AS discounted,
+                 CASE WHEN discounted > 150000 THEN 'big' ELSE 'small' END AS tier
+          FROM orders
+        )
+        GROUP BY tier ORDER BY tier
+        """
+    )
+
+
+@register(
+    "parameterized_sql_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql",),
+)
+def parameterized_sql_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(sql, args)): the cutoff values
+    travel as typed parameters through the parser (injection-safe),
+    not string interpolation."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"cutoff": datetime.date(1995, 1, 1), "min_price": 50000.0},
     )

@@ -210,3 +210,24 @@ def test_xml_round_trip(spark, sf_dir, tmp_path):
     a = sorted((r.p_partkey, r.p_brand, r.p_retailprice) for r in src.collect())
     b = sorted((r.p_partkey, r.p_brand, r.p_retailprice) for r in back.collect())
     assert a == b
+
+
+def test_hidden_metadata_columns_expose_scan_provenance(spark, sf_dir):
+    """Spark's _metadata struct (file_path/file_name/file_size/
+    row_index) gives row-level scan provenance with no extra I/O --
+    the debugging path for 'which input file produced this row' at
+    100 TB.  (No registry oracle: the values are paths, inherently
+    sf-dir-relative.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prov = df.select(
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    per_file = prov.groupBy("fname").count().collect()
+    assert sum(r["count"] for r in per_file) == df.count()
+    assert all(r.fname.endswith(".parquet") for r in per_file)
+    # row_index is a real per-file position: distinct within each file
+    n_distinct = prov.distinct().count()
+    assert n_distinct == df.count()
