@@ -1888,3 +1888,118 @@ def parameterized_sql_priority_count(spark: SparkSession, sf_dir: str) -> DataFr
         """,
         args={"cutoff": datetime.date(1995, 1, 1), "min_price": 50000.0},
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-based outlier detection -- the two standard data-quality
+# fences, both oracle-checked.  Cross-engine determinism: the quartile/
+# median/MAD statistics are ROUNDED to 6 dp first and the fences are
+# derived from the rounded values, so both engines compare every row
+# against bit-identical thresholds (the engines' percentile
+# interpolation differs in the last ULPs; deriving fences from raw
+# quantiles would make boundary rows engine-dependent).
+# --------------------------------------------------------------------------
+@register(
+    "iqr_outlier_counts",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("agg", "percentile", "quality"),
+)
+def iqr_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fences per group: rows outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] counted as outliers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("__qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__qs")[0], 6).alias("q1"),
+            F.round(F.col("__qs")[1], 6).alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "robust_zscore_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             ROUND(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5), 6) AS mad
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag, m.med, d.mad,
+           CAST(SUM(CASE WHEN ABS(l.l_extendedprice - m.med) > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l
+    JOIN med m USING (l_returnflag)
+    JOIN mad d USING (l_returnflag)
+    GROUP BY l.l_returnflag, m.med, d.mad
+    ORDER BY l.l_returnflag
+    """,
+    tags=("agg", "percentile", "quality"),
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score: rows with |x - median| > 3 sigma-hat
+    (sigma-hat = 1.4826 * MAD) counted per group -- the outlier fence
+    that survives the outliers it hunts, unlike mean/stddev."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    med = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("__m"))
+        .select("l_returnflag", F.round("__m", 6).alias("med"))
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = (
+        with_med.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("__d")
+        )
+        .select("l_returnflag", F.round("__d", 6).alias("mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("l_extendedprice") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .orderBy("l_returnflag")
+    )
