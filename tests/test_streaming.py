@@ -495,3 +495,40 @@ def test_state_store_reader_exposes_agg_state(spark, tmp_path):
     state = spark.read.format("statestore").load(ckpt)
     got = {r.key.g: r.value["count"] for r in state.collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_available_now_with_max_files_per_trigger(spark, tmp_path):
+    """Trigger.AvailableNow + maxFilesPerTrigger: process ALL backlog
+    then stop, in bounded microbatches -- the catch-up/backfill shape
+    for file streams (a plain processAllAvailable run would take the
+    whole backlog in one batch and a plain availableNow without the
+    cap can OOM on a huge backlog)."""
+    src = str(tmp_path / "src")
+    for i in range(6):  # six separate files
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = f"avnow_sink_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT id FROM {sink}").collect()
+    assert sorted(r.id for r in rows) == list(range(6))  # full backlog
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3  # cap forced multiple bounded batches
+    assert all(b <= 2 for b in batches)
