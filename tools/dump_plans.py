@@ -162,11 +162,13 @@ SHOWCASE = [
     ),
     (
         "semdedup_pairs",
-        "SemDeDup: the pair join keys on the k-means cluster id, so "
-        "pair expansion is quadratic per cluster, never global; vector "
-        "norms are hoisted to a column before the join (one multiply "
-        "per pair side, not a fold); the assignment step is centroid "
-        "literals in a codegen'd projection -- no shuffle to assign.",
+        "SemDeDup: ONE shuffle on the k-means cluster id feeding a "
+        "FlatMapGroupsInPandas (per-cluster GEMM pair scoring on the "
+        "Arrow path -- pair expansion happens inside the vectorized "
+        "kernel, quadratic per cluster, never global); over-cap "
+        "clusters are filtered out via the broadcast size join before "
+        "the exchange.  Assignments come from the cached deterministic "
+        "quantizer -- no clustering cost in the steady-state plan.",
     ),
     (
         "substring_dup_stats",
