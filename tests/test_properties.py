@@ -326,3 +326,81 @@ def test_interval_overlap_matches_naive_property(spark, lspans, rspans, width):
         if s1 <= s2 + l2 and s2 <= s1 + l1
     }
     assert got == want
+
+
+# -- round-4 operator properties -------------------------------------------
+
+
+def test_incremental_dedup_idempotent_and_composes(spark):
+    """Survivors of an increment, appended to the base manifest, make
+    re-processing the same shard a no-op (everything dup_of_base) --
+    the steady-state crawl-loop invariant."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+        incremental_dedup_status,
+    )
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('txt ', CAST(id % 83 AS STRING)) AS text"
+    )
+    base = docs.filter("doc_id < 120")
+    shard = docs.filter("doc_id >= 120")
+    base_fps = base.select(fingerprint("text").alias("fp")).distinct()
+
+    kept = incremental_dedup(shard, base_fps, "text", "doc_id")
+    # append survivors' fingerprints to the manifest
+    next_base = base_fps.union(kept.select("fingerprint")).distinct()
+    # the same shard against the grown manifest: nothing survives
+    again = incremental_dedup_status(shard, next_base, "text", "doc_id")
+    statuses = {r.status for r in again.collect()}
+    assert statuses == {"dup_of_base"}
+
+
+def test_rrf_scores_monotone_in_rank(spark):
+    """Within one list, a better (smaller) rank can never yield a
+    smaller fused score when the other list agrees."""
+    from big_data_co2_emission_analysis_spark.functions.ranking import rrf_fuse
+
+    lex = spark.createDataFrame([(i, i) for i in range(1, 21)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(i, i) for i in range(1, 21)], "doc_id long, rank long")
+    rows = sorted(
+        rrf_fuse({"lex": lex, "sem": sem}).collect(), key=lambda r: r.lex_rank
+    )
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lm_duplicated_doc_scores_better(spark):
+    """Bigram-LM sanity: replicating a document makes its n-grams more
+    probable under the corpus LM, so its perplexity must not rise."""
+    from big_data_co2_emission_analysis_spark.operators.ngram_lm import (
+        score_docs_bigram_lm,
+    )
+
+    base_rows = [(i, f"alpha beta gamma delta {i % 7}") for i in range(30)]
+    solo = spark.createDataFrame(base_rows + [(100, "zeta eta theta iota")],
+                                 "doc_id long, text string")
+    boosted = spark.createDataFrame(
+        base_rows
+        + [(100, "zeta eta theta iota")]
+        + [(200 + j, "zeta eta theta iota") for j in range(5)],
+        "doc_id long, text string",
+    )
+    p_solo = {r.doc_id: r.perplexity for r in score_docs_bigram_lm(solo).collect()}[100]
+    p_boost = {r.doc_id: r.perplexity for r in score_docs_bigram_lm(boosted).collect()}[100]
+    assert p_boost <= p_solo
+
+
+def test_substring_dup_fraction_bounds(spark, sf_dir):
+    from big_data_co2_emission_analysis_spark.operators.substrings import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    for r in duplicated_span_stats(docs, k=5).collect():
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert r.covered_tokens <= r.n_tokens
+        assert r.n_dup_windows <= r.n_windows
