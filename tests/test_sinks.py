@@ -231,3 +231,25 @@ def test_hidden_metadata_columns_expose_scan_provenance(spark, sf_dir):
     # row_index is a real per-file position: distinct within each file
     n_distinct = prov.distinct().count()
     assert n_distinct == df.count()
+
+
+def test_merge_schema_reads_evolved_parquet(spark, tmp_path):
+    """Schema evolution on read: files written before/after a column
+    was added read as one table under mergeSchema, old rows NULL-filled
+    -- the append-only table-evolution path without a table format."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # and the evolved column is filterable with pushdown semantics
+    assert merged.filter(F.col("score") > 9).count() == 1
