@@ -268,3 +268,57 @@ def semantic_cluster_stats(
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+def assign_by_broadcast_centroids(
+    emb: DataFrame,
+    centroids: list[list[float]] | DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster) nearest-centroid assignment via a BROADCAST
+    JOIN against a centroid table -- the large-k quantizer path the
+    module docstring prescribes: ``deterministic_kmeans`` rides
+    centroids as plan literals (exact, shuffle-free, but k*dim literals
+    cap practical k at a few hundred), while this shape scales to the
+    50k-cell quantizers SemDeDup uses on web corpora (the centroid
+    table broadcasts; each row scores k cells in a 1:k expansion and
+    keeps the min).
+
+    Ties break on the smaller cluster id (the deterministic_kmeans
+    convention), so for any centroid set both assignment paths agree
+    row-for-row -- pinned by test.
+
+    ``centroids`` is a list of vectors (cluster i = element i) or a
+    (cluster int, cvec array<double>) DataFrame.
+    """
+    from pyspark.sql import Window as W
+
+    if isinstance(centroids, list):
+        cent = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "cluster int, cvec array<double>",
+        )
+    else:
+        cent = centroids.select("cluster", "cvec")
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .select(id_col, "cluster", d2.alias("__d2"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )

@@ -154,3 +154,24 @@ def test_zero_norm_vectors_excluded_from_pairs_but_survive(spark):
         r.vec_id for r in semantic_dedup_survivors(emb, asg, min_cosine=0.95).collect()
     )
     assert kept == [1, 2, 3]  # zero-norm rows survive; 4 deduped
+
+
+def test_broadcast_assignment_agrees_with_literal_path(spark, sf_dir):
+    """The large-k broadcast-join quantizer must reproduce the
+    literal-expression assignment of deterministic_kmeans row-for-row
+    (same tie-break convention)."""
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+    from big_data_co2_emission_analysis_spark.operators.semdedup import (
+        assign_by_broadcast_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    lit_asg, centroids = deterministic_kmeans(
+        emb, "vec_id", "embedding", k=6, n_iter=3, seed=11
+    )
+    bc_asg = assign_by_broadcast_centroids(emb, centroids)
+    a = sorted((r.vec_id, r.cluster) for r in lit_asg.collect())
+    b = sorted((r.vec_id, r.cluster) for r in bc_asg.collect())
+    assert a == b
