@@ -91,6 +91,7 @@ def semantic_dedup_pairs(
     min_cosine: float = 0.95,
     max_cluster_size: int | None = 10_000,
     backend: str = "gemm",
+    gemm_block_rows: int = 1024,
 ) -> DataFrame:
     """(id_a, id_b, cluster, cosine) for within-cluster pairs with
     cosine >= ``min_cosine`` (id_a < id_b; cosine rounded to 6 dp
@@ -101,19 +102,27 @@ def semantic_dedup_pairs(
     ``assignments`` is (id_col, cluster_col) -- typically the output of
     ``ml.deterministic.deterministic_kmeans``.
 
-    ``backend='gemm'`` (default) scores each cluster's pair block with
-    one numpy matrix product inside ``applyInPandas`` -- the vectorized
-    Arrow path; per-pair higher-order-function folds are interpreted,
-    and at ~250-row clusters the GEMM is ~4x faster end-to-end
-    (measured at sf0.1).  ``backend='native'`` keeps the pure-Catalyst
+    ``backend='gemm'`` (default) scores each cluster with BLOCKED numpy
+    matrix products inside ``applyInPandas`` -- the vectorized Arrow
+    path; per-pair higher-order-function folds are interpreted, and at
+    ~250-row clusters the GEMM is ~4x faster end-to-end (measured at
+    sf0.1).  The GEMM is chunked into ``gemm_block_rows``-row blocks so
+    the full NxN cosine matrix is NEVER materialized: with N rows of
+    dim d, peak per-task memory is ~ N*d*8 (the stacked vectors) +
+    B*N*9 bytes for the block scores + mask (B=1024 default; ~90 MB of
+    block state at the default N=10_000 cap) + the post-threshold
+    candidates, which are output-bound.  ``backend='native'`` keeps the pure-Catalyst
     expression pipeline (the semantics twin; parity-tested).  The gemm
     path replays Spark's exact HALF_UP-on-shortest-repr rounding on
     the boundary candidates (np.round is half-to-even and WOULD
     diverge on values like 0.4000005), so both backends agree with the
     oracle bit-for-bit except on sub-1e-12 dot-order knife edges that
-    6-dp rounding absorbs.  Memory per task is bounded by
-    ``max_cluster_size``^2 pair candidates -- the same cap that bounds
-    the native join's expansion.
+    6-dp rounding absorbs.
+
+    Pair orientation (id_a < id_b): string ids are ordered by their
+    UTF-8 bytes -- exactly Spark's default UTF8_BINARY comparison used
+    by the native backend and the SQL oracle -- so non-ASCII ids cannot
+    produce swapped pairs across backends.
     """
     left = _pair_search_input(
         emb, assignments, id_col, vec_col, cluster_col, max_cluster_size
@@ -136,30 +145,57 @@ def semantic_dedup_pairs(
             # repr (BigDecimal.valueOf == Python repr)
             return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
+        BLOCK = int(gemm_block_rows)  # rows per GEMM block; memory formula above
+
         def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"].values]
             )
             ids = pdf["id"].to_numpy()
-            order = np.argsort(ids)
+            if len(ids) and isinstance(ids[0], str):
+                # UTF-8 byte order == Spark UTF8_BINARY string comparison
+                # (np.argsort on object strings uses Python code-point
+                # order, which agrees for valid UTF-8 but byte-sorting
+                # is the definitionally identical rule)
+                order = np.asarray(
+                    sorted(range(len(ids)), key=lambda i: ids[i].encode("utf-8"))
+                )
+            else:
+                order = np.argsort(ids)
             ids, V = ids[order], V[order]
             n = np.sqrt((V * V).sum(axis=1))
-            cos = (V @ V.T) / np.outer(n, n)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            raw = cos[iu, ju]
-            # slack prefilter one quantum below the cut, then exact
-            # Spark-rounding on the candidates only
-            cand = raw >= (min_cosine - 1e-6)
-            rounded = np.fromiter(
-                (_round6(x) for x in raw[cand]), dtype=np.float64
-            )
-            keep = rounded >= min_cosine
+            N = len(ids)
+            cols = np.arange(N)[None, :]
+            out_a, out_b, out_c = [], [], []
+            for s in range(0, N, BLOCK):
+                e = min(s + BLOCK, N)
+                # (e-s, N) block of cosines -- never the full NxN
+                blk = (V[s:e] @ V.T) / np.outer(n[s:e], n)
+                # upper triangle (j > global row) + slack prefilter one
+                # quantum below the cut, then exact Spark-rounding on
+                # the candidates only
+                mask = (cols > np.arange(s, e)[:, None]) & (
+                    blk >= (min_cosine - 1e-6)
+                )
+                bi, bj = np.nonzero(mask)
+                rounded = np.fromiter(
+                    (_round6(x) for x in blk[bi, bj]),
+                    dtype=np.float64,
+                    count=len(bi),
+                )
+                keep = rounded >= min_cosine
+                out_a.append(ids[bi[keep] + s])
+                out_b.append(ids[bj[keep]])
+                out_c.append(rounded[keep])
+            empty = np.array([], dtype=ids.dtype)
             return pd.DataFrame(
                 {
-                    "id_a": ids[iu[cand][keep]],
-                    "id_b": ids[ju[cand][keep]],
+                    "id_a": np.concatenate(out_a) if out_a else empty,
+                    "id_b": np.concatenate(out_b) if out_b else empty,
                     "cluster": pdf["cluster"].iloc[0],
-                    "cosine": rounded[keep],
+                    "cosine": np.concatenate(out_c)
+                    if out_c
+                    else np.array([], dtype=np.float64),
                 }
             )
 
@@ -289,11 +325,17 @@ def assign_by_broadcast_centroids(
     convention), so for any centroid set both assignment paths agree
     row-for-row -- pinned by test.
 
+    The min-selection is a ``min(struct(d2, cluster))`` AGGREGATE, not
+    a window: struct ordering compares d2 first then cluster (the exact
+    tie-break), min is associative so Spark map-side-combines the 1:k
+    expansion inside each scan task and the Exchange carries ~N partial
+    rows -- a row_number window here would shuffle all N*k scored rows
+    (k=50k at SemDeDup web scale) before discarding k-1 of each.  A
+    plan test pins partial aggregation below the Exchange and no Window.
+
     ``centroids`` is a list of vectors (cluster i = element i) or a
     (cluster int, cvec array<double>) DataFrame.
     """
-    from pyspark.sql import Window as W
-
     if isinstance(centroids, list):
         cent = emb.sparkSession.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
@@ -316,9 +358,8 @@ def assign_by_broadcast_centroids(
         .crossJoin(F.broadcast(cent))
         .select(id_col, "cluster", d2.alias("__d2"))
     )
-    w = W.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cluster"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cluster")
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cluster")).alias("__m"))
+        .select(id_col, F.col("__m.cluster").alias("cluster"))
     )

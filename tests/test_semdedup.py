@@ -175,3 +175,45 @@ def test_broadcast_assignment_agrees_with_literal_path(spark, sf_dir):
     a = sorted((r.vec_id, r.cluster) for r in lit_asg.collect())
     b = sorted((r.vec_id, r.cluster) for r in bc_asg.collect())
     assert a == b
+
+
+def test_gemm_blocked_path_matches_native(spark, sf_dir):
+    """Multi-block GEMM (block smaller than the cluster) must agree
+    with the native twin pair-for-pair -- exercises the block-boundary
+    triangle logic the default 1024 block hides at test scale."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(90)
+    asg = emb.select("vec_id", (F.col("vec_id") % 2).cast("int").alias("cluster"))
+    a = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cosine)
+        for r in semantic_dedup_pairs(
+            emb, asg, min_cosine=0.2, backend="gemm", gemm_block_rows=7
+        ).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cluster, r.cosine)
+        for r in semantic_dedup_pairs(
+            emb, asg, min_cosine=0.2, backend="native"
+        ).collect()
+    )
+    assert a and a == b
+
+
+def test_gemm_string_ids_utf8_order(spark):
+    """Non-ASCII string ids: pair orientation must follow UTF-8 byte
+    order (Spark UTF8_BINARY), matching the native backend."""
+    emb = spark.createDataFrame(
+        [("å1", [1.0, 0.0]), ("z2", [1.0, 0.001]), ("a0", [0.999, 0.01])],
+        "vec_id string, embedding array<float>",
+    )
+    asg = spark.createDataFrame(
+        [("å1", 0), ("z2", 0), ("a0", 0)], "vec_id string, cluster int"
+    )
+    for backend in ("gemm", "native"):
+        pairs = sorted(
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                emb, asg, min_cosine=0.95, backend=backend
+            ).collect()
+        )
+        # UTF-8 bytes: 'a0' < 'z2' < 'å1' (0xC3...)
+        assert pairs == [("a0", "z2"), ("a0", "å1"), ("z2", "å1")], backend
