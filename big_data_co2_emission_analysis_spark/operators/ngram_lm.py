@@ -15,8 +15,10 @@ Spark-first shape (no Python boundary anywhere):
   combine.  Context totals c(v) and the vocabulary size both derive
   from the (already tiny) bigram-count table -- no second corpus scan.
 - Scoring is ONE shuffle: the exploded bigram stream joins the count
-  table on (v, w).  The context-total table (|vocab| rows) and the
-  1-row vocabulary scalar broadcast into the plan.
+  table on (v, w).  The 1-row vocabulary scalar broadcasts; the
+  context-total table (|vocab| rows -- web-corpus vocabularies do NOT
+  broadcast safely) joins under an AQE runtime size gate, see
+  ``score_docs_bigram_lm(ctx_join=...)``.
 
 Model: add-alpha smoothed bigram LM over the corpus's own vocabulary,
 
@@ -114,6 +116,7 @@ def score_docs_bigram_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    ctx_join: str = "auto",
 ) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, avg_logprob, perplexity).
 
@@ -125,7 +128,39 @@ def score_docs_bigram_lm(
     Each term is rounded to ``LP_SCALE`` dp and summed in fixed-point
     int64, so the result is partitioning-independent and replayable by
     an ANSI-SQL oracle.
+
+    ``ctx_join`` gates how the per-context count table (one row per
+    distinct token -- vocabulary-sized, so fine at fixture scale but
+    10^7-10^8 rows on a web corpus, which would OOM a forced broadcast)
+    joins the bigram stream:
+
+    - ``'auto'`` (default): NO hint -- AQE sizes the materialized ctx
+      exchange at runtime and broadcasts only under
+      ``autoBroadcastJoinThreshold``.  This is the size gate done with
+      measured bytes instead of a distinct-v probe job: an upfront
+      estimate would re-pay the whole bigram-count scan before the real
+      job runs (the probe-overhead trap SALTED_JOIN_BENCH quantifies),
+      while AQE decides from the exchange it has to write anyway.
+    - ``'broadcast'``: force the hint (vocabulary known small).
+    - ``'shuffle'``: forbid broadcast (shuffle-hash hint) -- the web-
+      corpus path; also what 'auto' degrades to above threshold.
+
+    All three are value-identical (oracle-pinned); only the physical
+    join strategy differs.
+
+    Cross-engine note (accepted knife edge): the per-bigram smoothed
+    probability is a plain IEEE division -- bit-identical in Spark and
+    DuckDB -- but ``ln()`` is JVM ``Math.log`` here vs libm in the
+    oracle, which may differ by 1 ULP; a value within that ULP of a
+    0.5e-9 quantization boundary could round differently.  Quantizing
+    the probability BEFORE the log would not remove the hazard (the
+    transcendental itself is the divergence source), so, like the
+    cosine 6-dp note in operators/similarity.py, we accept it: the
+    fixture corpus is pinned green, and a flip needs a log output
+    within ~1e-16 of a half-quantum -- ~1e-7 odds per distinct bigram.
     """
+    if ctx_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"ctx_join must be auto|broadcast|shuffle, got {ctx_join!r}")
     counts, ctx, vocab = bigram_lm_counts(docs, id_col, text_col)
     big = doc_bigrams(docs, id_col, text_col)
 
@@ -133,9 +168,13 @@ def score_docs_bigram_lm(
         (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))
         / (F.col("c_v").cast("double") + F.lit(alpha) * F.col("v_size").cast("double"))
     )
+    if ctx_join == "broadcast":
+        ctx = F.broadcast(ctx)
+    elif ctx_join == "shuffle":
+        ctx = ctx.hint("shuffle_hash")
     scored = (
         big.join(counts, ["v", "w"], "left")
-        .join(F.broadcast(ctx), "v")
+        .join(ctx, "v")
         .crossJoin(F.broadcast(vocab))
         .select(F.col(id_col), fx(lp, LP_SCALE).alias("__lp_fx"))
     )

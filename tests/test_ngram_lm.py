@@ -87,3 +87,36 @@ def test_unseen_bigram_gets_smoothed_floor(spark):
     out = {r.doc_id: r.avg_logprob for r in score_docs_bigram_lm(docs).collect()}
     # symmetric corpus: both docs score identically
     assert out[1] == out[2]
+
+
+def test_ctx_join_strategies_agree_and_gate_the_plan(spark, sf_dir):
+    """The vocabulary-sized ctx table must not be force-broadcast
+    (VERDICT r4 #4): 'shuffle' forbids broadcast, 'broadcast' forces
+    it, 'auto' carries no hint (AQE decides from the runtime exchange
+    size) -- and all three produce identical values."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    rows = {}
+    for strat in ("auto", "broadcast", "shuffle"):
+        df = score_docs_bigram_lm(docs, ctx_join=strat)
+        rows[strat] = sorted(
+            (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
+            for r in df.collect()
+        )
+    assert rows["auto"] == rows["broadcast"] == rows["shuffle"]
+    assert rows["auto"], "fixture produced no scored docs"
+
+    # 'shuffle' must plan the ctx join as a shuffle join; the unhinted
+    # (v,w) counts join stays size-gated by Catalyst (it may broadcast
+    # at fixture scale), so compare broadcast counts across strategies
+    # rather than demanding zero broadcasts
+    shuffled = explain_formatted(score_docs_bigram_lm(docs, ctx_join="shuffle"))
+    forced = explain_formatted(score_docs_bigram_lm(docs, ctx_join="broadcast"))
+    assert "ShuffledHashJoin" in shuffled or "SortMergeJoin" in shuffled
+    # formatted explain prints each node in the tree AND the detail
+    # section, so one fewer join = a strictly smaller count
+    assert shuffled.count("BroadcastHashJoin") < forced.count("BroadcastHashJoin")
+
+    with pytest.raises(ValueError):
+        score_docs_bigram_lm(docs, ctx_join="bogus")
