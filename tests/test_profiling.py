@@ -126,3 +126,47 @@ def test_column_profile_approx_mode(frame):
     assert "Expand" not in tree
     exact_tree = explain_formatted(column_profile(frame, ["id", "cat", "val"])).split("\n\n")[0]
     assert "Expand" in exact_tree  # the cost approx mode avoids
+
+
+def test_auto_salted_join_probe_is_sampled_and_memoized(spark):
+    """VERDICT r4 #5: the skew probe (a) samples above the row floor,
+    (b) falls back to the exact probe on tiny inputs, and (c) memoizes
+    the measured ratio under the left side's semanticHash so repeated
+    joins of the same lineage pay the probe once."""
+    from big_data_co2_emission_analysis_spark.operators import joins
+    from big_data_co2_emission_analysis_spark.operators.joins import auto_salted_join
+    from pyspark.sql import functions as F
+
+    joins._PROBE_RATIO_CACHE.clear()
+
+    # tiny input: sampled probe lands under the floor -> exact fallback
+    # still decides correctly (plain join, values right)
+    uniform = spark.createDataFrame([(i % 10, i) for i in range(100)], "k long, v long")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "k long, name string")
+    got = {tuple(r) for r in auto_salted_join(uniform, dim, ["k"]).collect()}
+    want = {tuple(r) for r in uniform.join(dim, "k").collect()}
+    assert got == want
+    assert len(joins._PROBE_RATIO_CACHE) == 1
+
+    # same lineage again: cache hit, no new entry
+    auto_salted_join(uniform, dim, ["k"])
+    assert len(joins._PROBE_RATIO_CACHE) == 1
+
+    # large-enough input: sampled probe is trusted (one entry added)
+    # and a planted 60%-hot key still forces salting off the sample
+    hot = spark.range(200_000).select(
+        F.when(F.col("id") % 5 < 3, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    dim2 = spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("name"))
+    plan = explain_formatted(auto_salted_join(hot, dim2, ["k"]))
+    assert "Generate" in plan  # salted: explode of the salt sequence
+    assert len(joins._PROBE_RATIO_CACHE) == 2
+
+    # reuse_probe=False bypasses the cache (entry count unchanged,
+    # decision still correct)
+    plan2 = explain_formatted(auto_salted_join(hot, dim2, ["k"], reuse_probe=False))
+    assert "Generate" in plan2
+    assert len(joins._PROBE_RATIO_CACHE) == 2
