@@ -191,15 +191,28 @@ def main() -> None:
         n = len(s)
         return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
 
+    def clear_all_caches() -> None:
+        # drop operator-internal persisted data so every warm run redoes
+        # ALL data work and only reuses compiled code.  clearCache() only
+        # drops SQL-catalog entries; RDD-level caches (eager
+        # localCheckpoints from connected_components / deterministic ML)
+        # are invisible to it and would accumulate across iterations, so
+        # sweep them via the JavaSparkContext map as well.
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in list(jmap.values()):
+                rdd.unpersist(False)
+        except Exception:
+            pass  # py4j surface moved; catalog clear still ran
+
     for name in HEADLINE:
         cold_times[name] = run(name)
         iters = []
         for _ in range(n_iters):
-            # drop operator-internal persisted data so every warm run
-            # redoes ALL data work and only reuses compiled code
-            spark.catalog.clearCache()
+            clear_all_caches()
             iters.append(run(name))
-        spark.catalog.clearCache()
+        clear_all_caches()
         iter_times[name] = iters
         times[name] = median(iters)
         lo, hi = sorted(iters)[len(iters) // 4], sorted(iters)[-1 - len(iters) // 4]

@@ -559,6 +559,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the convergence check above was the last reader of the PREVIOUS
+        # round's checkpoint blocks: release them now instead of waiting
+        # for GC + ContextCleaner (they are N-row, one per round)
+        if rnd > 1:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             if stats_out is not None:

@@ -51,10 +51,15 @@ def exact_quantiles(
 
     ``materialize=True`` (the default, and the only correct mode for
     real data) persists the range-partitioned frame across the two jobs
-    and returns an eagerly local-checkpointed result.  Pass ``False``
-    ONLY to inspect the un-truncated logical plan -- in that mode the
-    returned frame re-executes the range exchange on collection, which
-    can re-sample different partition boundaries than the counts job.
+    and returns the (keys x quantiles, control-plane-bounded) result as
+    a driver-local relation: it is computed eagerly, the persisted
+    frame is released before returning, and NO cached RDD outlives the
+    call (an eager ``localCheckpoint`` here used to leak one pinned
+    RDD per invocation -- invisible to ``spark.catalog.clearCache()``,
+    which only drops SQL-catalog entries).  Pass ``False`` ONLY to
+    inspect the un-truncated logical plan -- in that mode the returned
+    frame re-executes the range exchange on collection, which can
+    re-sample different partition boundaries than the counts job.
 
     ``max_control_rows`` bounds the driver-side control plane: the
     per-(partition, key) counts collect is partitions * keys rows, which
@@ -154,10 +159,14 @@ def exact_quantiles(
             (F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))).alias("value"),
         )
     )
-    # The result is tiny (keys x quantiles rows): eagerly materialize it
-    # and truncate its lineage so `base` can be unpersisted here without
-    # a later action silently re-running the un-cached exchange.
+    # The result is tiny (keys x quantiles rows, bounded by the control
+    # plane guard): materialize it THROUGH THE DRIVER into a local
+    # relation so `base` can be unpersisted here without a later action
+    # silently re-running the un-cached exchange, and without pinning a
+    # checkpoint RDD for the caller's lifetime.
     if materialize:
-        result = result.localCheckpoint(eager=True)
+        rows = result.collect()
+        schema = result.schema
         base.unpersist()
+        result = spark.createDataFrame(rows, schema)
     return result
