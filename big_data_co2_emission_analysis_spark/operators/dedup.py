@@ -519,7 +519,40 @@ def connected_components(
     Pass ``stats_out={}`` to receive ``{"rounds": N, "converged":
     True}`` for pipeline monitoring (the minhash_banded_bucket_stats
     pattern: surface the health number as data).
+
+    Checkpoint-block hygiene (ADVICE r5): each round's
+    ``localCheckpoint(eager=True)`` persists an RDD-level block that
+    ``Dataset.unpersist`` CANNOT release (unpersist only talks to the
+    SQL CacheManager; a localCheckpoint's persistence lives on the
+    underlying RDD -- empirically, after ``df.localCheckpoint();
+    df.unpersist(True)`` the RDD is still in
+    ``sc.getPersistentRDDs``).  So the loop diffs the JVM's persistent
+    -RDD id set around each checkpoint and unpersists the PREVIOUS
+    round's ids through the JavaRDD handles once the convergence probe
+    (its last reader) has run -- long-running sessions hold exactly one
+    round's block, not one per round.  The FINAL round's block backs
+    the returned DataFrame and intentionally stays; its ids are
+    surfaced as ``stats_out["checkpoint_rdd_ids"]`` so callers that
+    outlive the result can release it the same way.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        try:
+            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        except Exception:  # pragma: no cover - py4j surface moved
+            return set()
+
+    def _release_rdd_ids(ids: set) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # pragma: no cover - py4j surface moved
+            pass
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -529,6 +562,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    prev_ids: set = set()
     for rnd in range(1, max_iterations + 1):
         # (a) propagate: each node takes min(own, neighbors') component
         neighbor = (
@@ -551,7 +585,9 @@ def connected_components(
             new_labels.join(parent, "comp")
             .select("id", F.least("comp", "__gp").alias("comp"))
         )
+        before = _persistent_ids()
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        new_ids = _persistent_ids() - before
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "id")
@@ -560,15 +596,27 @@ def connected_components(
             .count()
         )
         # the convergence check above was the last reader of the PREVIOUS
-        # round's checkpoint blocks: release them now instead of waiting
-        # for GC + ContextCleaner (they are N-row, one per round)
-        if rnd > 1:
-            labels.unpersist()
+        # round's checkpoint blocks: release them now (at the RDD level,
+        # where a localCheckpoint's persistence actually lives) instead
+        # of waiting for GC + ContextCleaner -- they are N-row, one per
+        # round, and Dataset.unpersist would be a silent no-op here
+        if prev_ids:
+            _release_rdd_ids(prev_ids)
+        prev_ids = new_ids
         labels = new_labels
         if changed == 0:
             if stats_out is not None:
-                stats_out.update({"rounds": rnd, "converged": True})
+                stats_out.update(
+                    {
+                        "rounds": rnd,
+                        "converged": True,
+                        "checkpoint_rdd_ids": sorted(prev_ids),
+                    }
+                )
             return labels
+    # non-convergence: the caller gets an exception, not the labels, so
+    # the last round's blocks have no reader left -- release them too
+    _release_rdd_ids(prev_ids)
     if stats_out is not None:
         stats_out.update({"rounds": max_iterations, "converged": False})
     raise RuntimeError(

@@ -194,19 +194,30 @@ def auto_salted_join(
     ``probe_fraction`` (VERDICT r4 #5) bounds the probe: the skew
     report runs on a Bernoulli sample of the projected key column
     instead of every row, shrinking the probe's map-side-combine and
-    shuffle volume ~1/f.  The decision statistic is robust to sampling:
-    a key holding share s of N rows keeps share ~s of the sample (its
-    sampled count concentrates at s*f*N), while the sampled mean can
-    only RISE relative to f*mean (rare keys drop out of the
-    denominator), so the sampled ratio is a mild UNDERestimate -- it
-    cannot manufacture skew that isn't there, and a hot key big enough
-    to hurt (ratio >> threshold) stays far above threshold under any
-    f*N >> n_keys.  ``probe_fraction=None`` (or >= 1.0) restores the
-    exact full-scan probe.  The sample is seeded -- same data, same
-    decision, every run.  A floor guards the small end: when the sample
-    lands under ``min_probe_rows`` the statistic is noise, so the exact
-    probe re-runs -- which is by construction cheap there (the full
-    input is under min_probe_rows / f rows).
+    shuffle volume ~1/f.  A hot key big enough to hurt keeps its share
+    of the sample (its sampled count concentrates at s*f*N), so real
+    skew stays far above threshold -- but the converse needs a guard
+    (ADVICE r5): on uniform LOW-multiplicity data the per-key sampled
+    counts are ~Poisson(f*rows_per_key), and the max over tens of
+    thousands of such keys sits several times above the sampled mean
+    purely by tail luck (e.g. 20 rows/key at f=0.05 => Poisson(1),
+    max over 25k keys ~8 vs mean ~1.6: "ratio" 5 with zero true skew).
+    So the sampled ratio is only TRUSTED when the sampled
+    ``max_key_rows`` is large enough for concentration
+    (``min_sampled_max_key`` = 50: relative sd of a Poisson(50) count
+    is ~14%, far inside the threshold's slack).  When the sampled max
+    is below that, the smallness itself is the answer: the true
+    hottest key holds ~max/f rows, bounded by ``min_sampled_max_key /
+    probe_fraction`` -- if that bound is under
+    ``max_immaterial_key_rows`` (1M: a single task absorbs it without
+    salting), the join runs plain with no further probing; only when
+    ``probe_fraction`` is so small that the bound is material does the
+    exact probe re-run.  ``probe_fraction=None`` (or >= 1.0) restores
+    the exact full-scan probe.  The sample is seeded -- same data,
+    same decision, every run.  A floor guards the small end: when the
+    sample lands under ``min_probe_rows`` the statistic is noise, so
+    the exact probe re-runs -- which is by construction cheap there
+    (the full input is under min_probe_rows / f rows).
 
     ``reuse_probe`` (default on) amortizes the remaining probe cost --
     measured at ~0.4 s on a cached 20M-row local[32] fixture, an
@@ -221,6 +232,8 @@ def auto_salted_join(
     from .profiling import key_skew_report
 
     min_probe_rows = 10_000
+    min_sampled_max_key = 50  # Poisson(50) concentrates to ~14% rel. sd
+    max_immaterial_key_rows = 1_000_000  # below this, no key needs a salt
     keys = left.select(*on)
     cache_key = None
     if reuse_probe:
@@ -231,16 +244,23 @@ def auto_salted_join(
     if cache_key is not None and cache_key in _PROBE_RATIO_CACHE:
         ratio = _PROBE_RATIO_CACHE[cache_key]
     else:
-        report = None
+        ratio = None
         if probe_fraction is not None and probe_fraction < 1.0:
-            report = key_skew_report(
+            srep = key_skew_report(
                 keys.sample(fraction=probe_fraction, seed=probe_seed), on
             ).collect()[0]
-            if (report["total_rows"] or 0) < min_probe_rows:
-                report = None  # sample too small to trust; probe exactly
-        if report is None:
-            report = key_skew_report(keys, on).collect()[0]
-        ratio = report["skew_ratio"] or 1.0
+            if (srep["total_rows"] or 0) < min_probe_rows:
+                pass  # sample too small to trust; probe exactly
+            elif (srep["max_key_rows"] or 0) >= min_sampled_max_key:
+                ratio = srep["skew_ratio"] or 1.0  # concentrated: trust it
+            elif min_sampled_max_key / probe_fraction <= max_immaterial_key_rows:
+                # sampled max is Poisson-tail noise, but its smallness
+                # bounds the TRUE hottest key at ~min_sampled_max_key/f
+                # rows -- too small to skew a task, so skip salting (and
+                # the exact probe) outright
+                ratio = 1.0
+        if ratio is None:
+            ratio = key_skew_report(keys, on).collect()[0]["skew_ratio"] or 1.0
         if cache_key is not None:
             if len(_PROBE_RATIO_CACHE) >= _PROBE_CACHE_MAX:
                 _PROBE_RATIO_CACHE.clear()

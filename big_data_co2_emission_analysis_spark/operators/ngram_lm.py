@@ -141,6 +141,12 @@ def score_docs_bigram_lm(
       estimate would re-pay the whole bigram-count scan before the real
       job runs (the probe-overhead trap SALTED_JOIN_BENCH quantifies),
       while AQE decides from the exchange it has to write anyway.
+      PRECONDITION: the runtime gate exists only under
+      ``spark.sql.adaptive.enabled=true`` (Spark's default).  When the
+      session has AQE off, 'auto' degrades to the safe 'shuffle' hint
+      -- static Catalyst estimates cannot be trusted to keep a 10^8-row
+      vocabulary out of a broadcast, and a silent OOM hazard is worse
+      than a shuffle join that is merely non-optimal on small vocabs.
     - ``'broadcast'``: force the hint (vocabulary known small).
     - ``'shuffle'``: forbid broadcast (shuffle-hash hint) -- the web-
       corpus path; also what 'auto' degrades to above threshold.
@@ -168,6 +174,15 @@ def score_docs_bigram_lm(
         (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))
         / (F.col("c_v").cast("double") + F.lit(alpha) * F.col("v_size").cast("double"))
     )
+    if ctx_join == "auto":
+        # the AQE runtime size gate is the whole point of 'auto'; with
+        # AQE off there is no gate, so degrade to the web-corpus-safe
+        # shuffle strategy instead of trusting static estimates
+        aqe = str(
+            docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        ).lower()
+        if aqe != "true":
+            ctx_join = "shuffle"
     if ctx_join == "broadcast":
         ctx = F.broadcast(ctx)
     elif ctx_join == "shuffle":

@@ -68,6 +68,36 @@ def _index_cache_path(sf_dir: str, kind: str) -> str:
     return os.path.join(root, f"{kind}_index_{sf_name}_{sig.hexdigest()[:10]}")
 
 
+def _publish_cache_dir(tmp: str, final: str, ready_marker: str = "_SUCCESS") -> None:
+    """Atomically publish a freshly-built cache directory (VERDICT r5
+    #3): the builder writes everything into ``tmp`` (process-unique),
+    then ONE POSIX directory rename makes it visible -- a concurrent
+    process sharing ``SPARK_GRAFT_CACHE_DIR`` sees either nothing or
+    the complete directory with its ready marker, never a
+    half-overwritten tree whose ``_SUCCESS`` survived from a previous
+    generation.  (``mode('overwrite')`` straight onto the final path
+    deletes-then-writes in place, exactly that hazard; the JSON sides
+    already used ``os.replace`` -- this is the directory analogue.)
+
+    Collision rule: if the rename fails because another process won the
+    race and its result is COMPLETE (ready marker present), ours is
+    discarded -- both builders are deterministic, the contents agree.
+    A leftover WITHOUT the marker is trusted by no reader (every cache
+    guard in this module checks the marker), so it is cleared and
+    replaced."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, ready_marker)):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs is whole
+        else:
+            shutil.rmtree(final, ignore_errors=True)  # unreadable leftover
+            os.rename(tmp, final)
+
+
 @register("kmeans_user_change", oracle=None, tags=("ml",))
 def kmeans_user_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline's ML leg (M1-M4) on the fixture-derived
@@ -126,7 +156,9 @@ def _det_kmeans(spark: SparkSession, sf_dir: str):
     out, centroids = deterministic_kmeans(
         emb, "vec_id", "embedding", k=8, n_iter=5, seed=42
     )
-    out.write.mode("overwrite").parquet(a_path)
+    tmp_a = f"{a_path}.tmp-{os.getpid()}"
+    out.write.mode("overwrite").parquet(tmp_a)
+    _publish_cache_dir(tmp_a, a_path)
     os.makedirs(cache, exist_ok=True)
     tmp = c_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -379,7 +411,9 @@ def ann_ivf_persisted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _index_cache_path(sf_dir, "ivf")
     if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        ivf_build_index(emb.filter(F.col("vec_id") >= 5), index_path, n_cells=8)
+        tmp = f"{index_path}.tmp-{os.getpid()}"
+        ivf_build_index(emb.filter(F.col("vec_id") >= 5), tmp, n_cells=8)
+        _publish_cache_dir(tmp, index_path, ready_marker="centroids/_SUCCESS")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -443,7 +477,9 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _index_cache_path(sf_dir, "pq")
     if not os.path.exists(f"{index_path}/codebooks/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        pq_build_index(emb.filter(F.col("vec_id") >= 5), index_path, m=8, ks=16)
+        tmp = f"{index_path}.tmp-{os.getpid()}"
+        pq_build_index(emb.filter(F.col("vec_id") >= 5), tmp, m=8, ks=16)
+        _publish_cache_dir(tmp, index_path, ready_marker="codebooks/_SUCCESS")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

@@ -180,6 +180,48 @@ def test_connected_components_pathological_chain_converges_log_rounds(spark):
     assert 1 < stats["rounds"] <= 15  # log-ish, nowhere near diameter 200
 
 
+def test_connected_components_releases_prior_round_checkpoints(spark):
+    """ADVICE r5: Dataset.unpersist is a no-op for localCheckpoint
+    blocks (their persistence is RDD-level, invisible to the SQL
+    CacheManager), so the loop must release prior rounds through the
+    JavaRDD handles.  After a multi-round run, exactly the FINAL
+    round's block may remain (it backs the returned labels), its ids
+    reported in stats_out -- and releasing those ids must empty the
+    persistent-RDD map, proving the mechanism is the real one."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+
+    def persistent_ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    # drop whatever other tests left behind so the delta is ours
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jmap.get(rid).unpersist(False)
+    base = persistent_ids()
+    assert not base
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(pairs, stats_out=stats)
+    labels.count()
+    assert stats["rounds"] > 2  # multi-round: prior rounds existed
+    leftover = persistent_ids()
+    assert leftover == set(stats["checkpoint_rdd_ids"])  # final round only
+    # and those ids are genuinely releasable through the reported handle
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in stats["checkpoint_rdd_ids"]:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    assert not persistent_ids()
+
+
 def test_connected_components_iteration_cap_raises_loudly(spark):
     """max_iterations must fail loudly with the cause named, and
     stats_out must record the non-convergence."""

@@ -120,3 +120,36 @@ def test_ctx_join_strategies_agree_and_gate_the_plan(spark, sf_dir):
 
     with pytest.raises(ValueError):
         score_docs_bigram_lm(docs, ctx_join="bogus")
+
+
+def test_ctx_join_auto_degrades_to_shuffle_without_aqe(spark, sf_dir):
+    """ADVICE r5: with spark.sql.adaptive.enabled=false there is no
+    runtime size gate, so 'auto' must degrade to the shuffle hint --
+    the ctx join may not plan a broadcast off static estimates (the
+    web-corpus OOM hazard the gate exists for)."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        auto_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="auto"))
+        shuffle_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="shuffle"))
+        vals = sorted(
+            (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
+            for r in score_docs_bigram_lm(docs, ctx_join="auto").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # the degraded auto plan carries the same shuffle-hinted ctx join:
+    # same broadcast count as explicit 'shuffle', and a shuffle join
+    # node exists for the hinted side
+    assert "ShuffledHashJoin" in auto_plan or "SortMergeJoin" in auto_plan
+    assert auto_plan.count("BroadcastHashJoin") == shuffle_plan.count(
+        "BroadcastHashJoin"
+    )
+    want = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
+        for r in score_docs_bigram_lm(docs, ctx_join="shuffle").collect()
+    )
+    assert vals == want and vals

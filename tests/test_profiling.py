@@ -153,8 +153,12 @@ def test_auto_salted_join_probe_is_sampled_and_memoized(spark):
     assert len(joins._PROBE_RATIO_CACHE) == 1
 
     # large-enough input: sampled probe is trusted (one entry added)
-    # and a planted 60%-hot key still forces salting off the sample
-    hot = spark.range(200_000).select(
+    # and a planted 60%-hot key still forces salting off the sample.
+    # 400k rows so the expected sample (20k at f=0.05) sits comfortably
+    # ABOVE the 10k floor -- at 200k the expectation was exactly the
+    # floor and half of runs silently took the exact-fallback path
+    # instead of the sampled-trusted branch this case documents.
+    hot = spark.range(400_000).select(
         F.when(F.col("id") % 5 < 3, F.lit(0)).otherwise(F.col("id")).alias("k"),
         F.col("id").alias("v"),
     )
@@ -170,3 +174,28 @@ def test_auto_salted_join_probe_is_sampled_and_memoized(spark):
     plan2 = explain_formatted(auto_salted_join(hot, dim2, ["k"], reuse_probe=False))
     assert "Generate" in plan2
     assert len(joins._PROBE_RATIO_CACHE) == 2
+
+
+def test_auto_salted_join_uniform_low_multiplicity_not_salted(spark):
+    """ADVICE r5: 20 rows/key at f=0.05 puts ~Poisson(1) counts in the
+    sample; the max over 25k keys is tail luck (~8) and the naive
+    sampled ratio clears the threshold with ZERO true skew.  The
+    concentration guard (sampled max_key_rows < 50 with an immaterial
+    true-max bound) must decide PLAIN -- no salt explode, no right-side
+    inflation -- and must do so without falling back to the exact probe
+    (which would re-pay the full scan the sampling exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators import joins
+    from big_data_co2_emission_analysis_spark.operators.joins import auto_salted_join
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+
+    joins._PROBE_RATIO_CACHE.clear()
+    # 500k rows, 25k keys x 20 rows: perfectly uniform, low multiplicity
+    uniform = spark.range(500_000).select(
+        (F.col("id") % 25_000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(25_000).select(F.col("id").alias("k"), F.col("id").alias("name"))
+    plan = explain_formatted(auto_salted_join(uniform, dim, ["k"]))
+    assert "Generate" not in plan  # plain join: no salt-sequence explode
+    assert joins._PROBE_RATIO_CACHE  # decided (and memoized) off the sample
