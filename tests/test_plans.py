@@ -385,6 +385,11 @@ _NLJ_WHITELIST = {
     "lm_perplexity_outliers",  # same 1-row vocabulary scalar
     "curated_corpus_v2",      # same 1-row vocabulary scalar (LM stage inside)
     "rag_chunk_retrieval",    # 1-row broadcast query-embedding build side
+    # k-row broadcast centroid codebook: the 1:k scoring expansion is
+    # the designed IVF/quantizer-assignment shape (ann_ivf_det_top10
+    # precedent); map-side min(struct) collapses it before the Exchange
+    "semdedup_pairs_bigk",
+    "semdedup_bigk_cluster_stats",
 }
 
 

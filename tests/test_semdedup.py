@@ -217,3 +217,105 @@ def test_gemm_string_ids_utf8_order(spark):
         )
         # UTF-8 bytes: 'a0' < 'z2' < 'å1' (0xC3...)
         assert pairs == [("a0", "z2"), ("a0", "å1"), ("z2", "å1")], backend
+
+
+def test_train_sampled_quantizer_deterministic_and_separating(spark):
+    """The sampled numpy trainer: (a) same data + seed => identical
+    centroids call-over-call, (b) on a corpus with two well-separated
+    blobs and k=2 the broadcast assignment puts each blob in one
+    cluster, (c) k above the sample size raises loudly."""
+    import pytest as _pytest
+
+    from big_data_co2_emission_analysis_spark.operators.semdedup import (
+        assign_by_broadcast_centroids,
+        train_sampled_quantizer,
+    )
+
+    rows = [(i, [10.0 + (i % 7) * 0.01, 0.0]) for i in range(40)] + [
+        (100 + i, [0.0, 10.0 + (i % 7) * 0.01]) for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    c1 = train_sampled_quantizer(emb, k=2, sample_rows=80, seed=7, n_iter=5)
+    c2 = train_sampled_quantizer(emb, k=2, sample_rows=80, seed=7, n_iter=5)
+    assert c1 == c2
+    asg = {
+        r.vec_id: r.cluster
+        for r in assign_by_broadcast_centroids(emb, c1).collect()
+    }
+    blob_a = {asg[i] for i in range(40)}
+    blob_b = {asg[100 + i] for i in range(40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    with _pytest.raises(ValueError, match="exceeds the sample"):
+        train_sampled_quantizer(emb, k=200, sample_rows=80)
+
+
+def test_bigk_query_matches_literal_path_at_fixture_scale(spark, sf_dir):
+    """semdedup_pairs_bigk routes through assign_by_broadcast_centroids
+    but must produce the EXACT same pair set as semdedup_pairs at
+    fixture scale (same centroids, parity-pinned assignment) -- the
+    property its shared DuckDB oracle checks end-to-end."""
+    from big_data_co2_emission_analysis_spark.queries.mlops import (
+        semdedup_pairs,
+        semdedup_pairs_bigk,
+    )
+
+    a = sorted(map(tuple, semdedup_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, semdedup_pairs_bigk(spark, sf_dir).collect()))
+    assert a and a == b
+
+
+def test_bigk_sqrt_routing_above_threshold(spark, sf_dir, monkeypatch, tmp_path):
+    """Above _BIGK_DET_MAX_ROWS the bigk query must switch to the
+    sqrt(N)-sized trained quantizer: clusters multiply (k ~ sqrt(N) >>
+    8), nothing is skipped by the cap, and the pair search still finds
+    pairs -- the sf10 configuration exercised at test scale by lowering
+    the threshold."""
+    from big_data_co2_emission_analysis_spark.queries import mlops
+
+    monkeypatch.setattr(mlops, "_BIGK_DET_MAX_ROWS", 100)
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    stats = mlops.semdedup_bigk_cluster_stats(spark, sf_dir).collect()[0]
+    n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    import math
+
+    want_k = max(2, int(math.isqrt(n)))
+    # trained quantizer: as many cells as sqrt(N) (empties may collapse
+    # a few), none skipped, max cluster far under the cap
+    assert stats.n_clusters > 8
+    assert stats.n_clusters <= want_k
+    assert stats.n_skipped_clusters == 0 and stats.n_skipped_rows == 0
+    assert stats.max_cluster <= 10_000
+    pairs = mlops.semdedup_pairs_bigk(spark, sf_dir)
+    assert pairs.count() > 0
+
+
+def test_assignment_gemm_backend_matches_native(spark, sf_dir):
+    """The Arrow/GEMM assignment backend (the hot scale path) must
+    agree with the exact-fold native pipeline row-for-row on the
+    fixture -- same nearest centroid, same first-minimum tie-break."""
+    from big_data_co2_emission_analysis_spark.ml.deterministic import (
+        deterministic_kmeans,
+    )
+    from big_data_co2_emission_analysis_spark.operators.semdedup import (
+        assign_by_broadcast_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, centroids = deterministic_kmeans(
+        emb.limit(200), "vec_id", "embedding", k=6, n_iter=3, seed=11
+    )
+    nat = sorted(
+        (r.vec_id, r.cluster)
+        for r in assign_by_broadcast_centroids(emb, centroids).collect()
+    )
+    gem = sorted(
+        (r.vec_id, r.cluster)
+        for r in assign_by_broadcast_centroids(
+            emb, centroids, backend="gemm"
+        ).collect()
+    )
+    assert nat and nat == gem
+    with pytest.raises(ValueError, match="backend"):
+        assign_by_broadcast_centroids(emb, centroids, backend="bogus")
