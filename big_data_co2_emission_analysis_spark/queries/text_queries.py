@@ -177,6 +177,35 @@ def fingerprint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact counterpart of minhash_near_dups; DuckDB recomputes the same
 # shingling with list functions.
 # --------------------------------------------------------------------------
+def _jaccard_agg_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Size the exact-Jaccard aggregation exchanges from the document
+    input bytes (filesystem metadata only, no probe job): one partition
+    per 256 KiB of compressed documents, floored at the session
+    default.  The 256 KiB divisor assumes ~4x the pair expansion
+    measured on the fixture corpus (113M candidate-pair entries, ~7 GB
+    of aggregation state, from 84 MB compressed at sf10 -- see
+    operators/dedup.py ngram_jaccard_pairs) so per-task state stays
+    ~20 MB even on denser text.  Returns None at or under the session
+    default -- small corpora keep the stock plan (map-side combine and
+    all), and the operator only repartitions when it buys memory."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        nbytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if not f.startswith(("_", "."))
+        )
+    elif os.path.exists(src):
+        nbytes = os.path.getsize(src)
+    else:  # non-local path: stay with the session default
+        return None
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = nbytes // (256 * 1024)
+    return int(n) if n > default else None
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=r"""
@@ -207,7 +236,14 @@ def fingerprint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_jaccard=0.2,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir),
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -259,7 +295,14 @@ _JACCARD_PAIRS_CTE = r"""
 def _jaccard_pairs(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, min_jaccard=0.2)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_jaccard=0.2,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir),
+    )
 
 
 @register(
