@@ -171,6 +171,19 @@ SHOWCASE = [
         "quantizer -- no clustering cost in the steady-state plan.",
     ),
     (
+        "semdedup_pairs_bigk",
+        "SemDeDup large-k scale path (r6): assignment routes through "
+        "assign_by_broadcast_centroids -- a k-row broadcast codebook "
+        "scored per row with the 1:k expansion collapsed by a "
+        "map-side-combinable min(struct) aggregate BELOW the Exchange "
+        "(partial_min pinned in tests/test_plans.py; a window here "
+        "would shuffle N*k rows).  At fixture scale the centroids are "
+        "the deterministic k=8 set so the plan is oracle-checked; "
+        "above 10k vectors the sqrt(N) numpy-trained quantizer takes "
+        "over and assignment switches to the Arrow/GEMM batch argmin "
+        "(mapInPandas).  Downstream identical to semdedup_pairs.",
+    ),
+    (
         "substring_dup_stats",
         "Substring duplication: windows explode map-side; duplicated "
         "windows come from one map-side-combined groupBy on the window "
