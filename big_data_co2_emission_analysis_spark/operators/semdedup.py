@@ -41,6 +41,48 @@ from .similarity import dot as _dot
 from .similarity import l2_norm as _l2_norm
 
 
+def spark_round6(x: float) -> float:
+    """Spark ``F.round(col, 6)`` on a double, replicated exactly:
+    HALF_UP at 6 dp on the SHORTEST decimal repr
+    (``BigDecimal.valueOf`` == Python ``repr``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def spark_round6_vec(vals):
+    """Vectorized :func:`spark_round6` over a float64 array (r6: the
+    per-element Decimal generator made GEMM pair scoring PYTHON-RATE in
+    the candidate count -- 31 s at sf1's ~10M candidates vs ~6 s before
+    the r5 blocking change introduced it).
+
+    Bit-equality argument, valid for |x| <~ 1e3 (cosines are <= 1):
+    the scaled ``y = x*1e6`` carries < ~1e-7 absolute float error and
+    ``repr(x)`` differs from x by < half an ulp (~1e-10 scaled), so
+    whenever y sits farther than 1e-6 from a half-integer both rounding
+    rules pick the SAME nearest 6-dp decimal d -- and ``rint(y)/1e6``
+    (an exact integer divided by an exact power of ten, correctly
+    rounded by IEEE division) is bit-identical to ``float(d)``.  Only
+    the boundary sliver ``|frac(|y|) - 0.5| < 1e-6`` (~2e-6 of uniform
+    inputs) takes the exact per-element Decimal path, where the
+    HALF_UP-vs-half-even and shortest-repr effects actually live.
+    Property-tested against the scalar on uniform, boundary-adjacent,
+    and exact-tie inputs."""
+    import numpy as np
+
+    vals = np.asarray(vals, dtype=np.float64)
+    y = vals * 1e6
+    r = np.rint(y) / 1e6
+    near = np.abs((np.abs(y) % 1.0) - 0.5) < 1e-6
+    if near.any():
+        r[near] = np.fromiter(
+            (spark_round6(x) for x in vals[near]),
+            dtype=np.float64,
+            count=int(near.sum()),
+        )
+    return r
+
+
 def _members(
     emb: DataFrame,
     assignments: DataFrame,
@@ -128,8 +170,6 @@ def semantic_dedup_pairs(
         emb, assignments, id_col, vec_col, cluster_col, max_cluster_size
     )
     if backend == "gemm":
-        from decimal import ROUND_HALF_UP, Decimal
-
         import numpy as np
         import pandas as pd
 
@@ -138,12 +178,7 @@ def semantic_dedup_pairs(
         out_schema = (
             f"id_a {id_type}, id_b {id_type}, cluster {cl_type}, cosine double"
         )
-        q6 = Decimal("1e-6")
-
-        def _round6(x: float) -> float:
-            # Spark F.round on double: HALF_UP on the shortest decimal
-            # repr (BigDecimal.valueOf == Python repr)
-            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+        _round6_vec = spark_round6_vec  # closure-captured for the UDF
 
         BLOCK = int(gemm_block_rows)  # rows per GEMM block; memory formula above
 
@@ -178,11 +213,7 @@ def semantic_dedup_pairs(
                     blk >= (min_cosine - 1e-6)
                 )
                 bi, bj = np.nonzero(mask)
-                rounded = np.fromiter(
-                    (_round6(x) for x in blk[bi, bj]),
-                    dtype=np.float64,
-                    count=len(bi),
-                )
+                rounded = _round6_vec(blk[bi, bj])
                 keep = rounded >= min_cosine
                 out_a.append(ids[bi[keep] + s])
                 out_b.append(ids[bj[keep]])

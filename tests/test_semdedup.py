@@ -319,3 +319,34 @@ def test_assignment_gemm_backend_matches_native(spark, sf_dir):
     assert nat and nat == gem
     with pytest.raises(ValueError, match="backend"):
         assign_by_broadcast_centroids(emb, centroids, backend="bogus")
+
+
+def test_spark_round6_vec_matches_scalar_everywhere():
+    """The vectorized Spark-rounding (r6 hot-path fix) must be
+    bit-identical to the exact Decimal scalar on: uniform randoms,
+    values planted within float-noise of 6-dp half boundaries (both
+    sides, both signs), and exact decimal ties like 0.4000005 where
+    HALF_UP and half-even disagree."""
+    import numpy as np
+
+    from big_data_co2_emission_analysis_spark.operators.semdedup import (
+        spark_round6,
+        spark_round6_vec,
+    )
+
+    rng = np.random.RandomState(7)
+    uniform = rng.uniform(-1, 1, 20000)
+    k = rng.randint(-1000000, 1000000, 2000)
+    # exact ties and boundary-adjacent values on both sides
+    ties = (k + 0.5) / 1e6
+    eps = np.array([1e-13, -1e-13, 3e-11, -3e-11, 1e-8, -1e-8])
+    adjacent = (ties[:, None] + eps[None, :]).ravel()
+    for vals in (uniform, ties, adjacent, np.array([0.4000005, -0.4000005, 0.9999995])):
+        got = spark_round6_vec(vals)
+        want = np.array([spark_round6(float(x)) for x in vals])
+        mismatch = np.nonzero(got != want)[0]
+        assert mismatch.size == 0, (
+            vals[mismatch[:5]],
+            got[mismatch[:5]],
+            want[mismatch[:5]],
+        )
