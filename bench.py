@@ -216,6 +216,21 @@ def main() -> None:
                 rdd.unpersist(False)
         except Exception:
             pass  # py4j surface moved; catalog clear still ran
+        try:
+            # Force a JVM GC so ContextCleaner promptly releases dead
+            # shuffle files/metadata from the previous execution.  Spark
+            # itself only forces one every 30 min
+            # (spark.cleaner.periodicGC.interval), and on a large driver
+            # heap (32g at sf10) ordinary GC never fires -- measured
+            # effect of skipping this: after ~200 executions the
+            # shuffle-heaviest query (ngram_jaccard_pairs, sized
+            # 319-partition exchanges) crept 47->89->100 s across its
+            # own warm iterations in the full sf10 bench while running
+            # flat at ~34 s in a fresh JVM.  Runs outside the timed
+            # region.
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     for name in HEADLINE:
         cold_times[name] = run(name)
