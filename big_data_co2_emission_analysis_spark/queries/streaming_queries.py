@@ -272,21 +272,33 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "streaming_interval_join_outer",
-    # Both sides restrict to purchases the watermark has provably
-    # FINALIZED (older than max_ts - lookback - watermark): an outer
-    # stream join only emits an unmatched row once the watermark proves
-    # no match can still arrive, so purchases inside the final window
-    # end the bounded run with their state legitimately still open --
-    # comparing them would test stream-termination accidentals, not
-    # join semantics.
+    # Restrict to purchases the watermark has provably FINALIZED: an
+    # outer stream join only emits an unmatched row once the watermark
+    # proves no match can still arrive, so purchases inside the final
+    # window end the bounded run with their state legitimately still
+    # open -- comparing them would test stream-termination accidentals,
+    # not join semantics.  The finalized region is anchored to
+    # LEAST(max purchase ts, max click ts), NOT the global MAX(ts):
+    # Spark's global watermark (multipleWatermarkPolicy=min) derives
+    # from the two JOINED streams' own max event times, and other event
+    # types (views/errors) can run hours past the last click -- at
+    # sf0.001 max(click ts) trails max(all ts) by ~4 h, which made the
+    # old MAX(ts)-based cutoff include one purchase whose state was
+    # still legitimately open (spark=199 vs duck=200).
     oracle="""
+    WITH cut AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+             ) - INTERVAL '3 hours 1 minute' AS c
+    )
     SELECT p.event_id AS p_event_id,
            p.user_id,
            STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
            STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
            c.value AS c_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase'
-          AND ts < (SELECT MAX(ts) FROM events) - INTERVAL '3 hours 1 minute') p
+          AND ts < (SELECT c FROM cut)) p
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
@@ -309,8 +321,14 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         stream_stream_interval_join_outer(stream), output_mode="append"
     )
     events = read_events(spark, sf_dir)
-    cutoff = events.agg(
-        (F.max("ts") - F.expr("INTERVAL '3 hours 1 minute'")).alias("cut")
+    cutoff = events.filter(F.col("event_type").isin("purchase", "click")).groupBy().agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+            - F.expr("INTERVAL '3 hours 1 minute'")
+        ).alias("cut")
     )
     return (
         result.join(F.broadcast(cutoff))
