@@ -260,9 +260,15 @@ def main() -> None:
         "warm_iters_per_query": n_iters,
         "sf": float(sf),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # SPARK_GRAFT_DETAIL_OUT overrides the destination ("-" discards):
+    # ad-hoc smoke runs on a hot machine must not clobber the committed
+    # idle-protocol evidence (see PROFILE.md "machine-idle precondition").
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if detail_path != "-":
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     # full maps as an EARLIER stdout line (driver tail-truncates; the
     # parseable compact line must come last)
     print(json.dumps(detail))
