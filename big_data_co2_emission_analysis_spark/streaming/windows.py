@@ -43,21 +43,34 @@ _STAGED_DIRS: dict[str, str] = {}
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """FileStreamSource monitors a *directory*; the fixture ships a
-    single flat file, so stage a hardlink/copy of it into a temp dir
-    (once per fixture per process).  In production the source is a real
-    landing directory (or Kafka) and this shim disappears."""
+    """FileStreamSource monitors a *directory* of data files; the
+    fixture ships ``events.parquet`` as either a single flat file (the
+    driver's testdata) or a Spark-written dataset directory, so stage
+    hardlinks/copies of the data files into a temp dir (once per
+    fixture per process).  In production the source is a real landing
+    directory (or Kafka) and this shim disappears."""
     if sf_dir not in _STAGED_DIRS:
         import os
         import shutil
 
         staged = tempfile.mkdtemp(prefix="events_stream_")
         src = os.path.join(sf_dir, "events.parquet")
-        dst = os.path.join(staged, "events.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+        if os.path.isdir(src):
+            # Spark dataset dir: stage only the part files (the stream
+            # schema is pinned, _SUCCESS/.crc markers would be globbed)
+            entries = [
+                e for e in os.listdir(src)
+                if e.endswith(".parquet") and not e.startswith((".", "_"))
+            ]
+        else:
+            entries = [None]
+        for i, entry in enumerate(entries):
+            s = src if entry is None else os.path.join(src, entry)
+            dst = os.path.join(staged, f"events_{i}.parquet")
+            try:
+                os.link(s, dst)
+            except OSError:
+                shutil.copy(s, dst)
         _STAGED_DIRS[sf_dir] = staged
     return _STAGED_DIRS[sf_dir]
 

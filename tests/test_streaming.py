@@ -532,3 +532,52 @@ def test_available_now_with_max_files_per_trigger(spark, tmp_path):
     batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 3  # cap forced multiple bounded batches
     assert all(b <= 2 for b in batches)
+
+
+def test_outer_interval_join_finalized_region_anchoring(spark, tmp_path):
+    """Regression for the registry cutoff bug: the LEFT OUTER interval
+    join's finalized region must be anchored to the JOINED streams' own
+    max event times (min of purchase/click, matching Spark's
+    multipleWatermarkPolicy=min global watermark), not to MAX(ts) over
+    all events -- other event types can run hours past the last click,
+    and a MAX(ts)-anchored cutoff then includes purchases whose join
+    state is legitimately still open (observed at sf0.001:
+    spark=199 vs oracle=200).
+
+    Fixture: clicks end at 16:00, purchases at 17:00, a lone view at
+    23:00.  Global watermark = 16:00 - 2h = 14:00; correct cutoff =
+    16:00 - 3h01m = 12:59.  P3 (15:30, unmatched, above the watermark)
+    never emits -- the old MAX(ts)-anchored cutoff (19:59) wrongly
+    demanded it."""
+    import datetime as dt
+
+    from big_data_co2_emission_analysis_spark.queries.streaming_queries import (
+        streaming_interval_join_outer,
+    )
+
+    d = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (1, d(9, 30), 1, "click", 1.0, None),
+        (2, d(10), 1, "purchase", None, None),   # matched (C at 09:30)
+        (3, d(12), 2, "purchase", None, None),   # unmatched, finalized -> null row
+        (4, d(15, 30), 3, "purchase", None, None),  # unmatched, ABOVE watermark: state open
+        (5, d(16), 9, "click", 2.0, None),       # latest click: anchors the watermark
+        (6, d(17), 8, "purchase", None, None),   # latest purchase
+        (7, d(23), 7, "view", 3.0, None),        # decoy: global MAX(ts) >> max click ts
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    got = sorted(
+        (r["p_event_id"], r["p_ts"], r["c_ts"])
+        for r in streaming_interval_join_outer(spark, str(tmp_path)).collect()
+    )
+    # finalized region = p_ts < min(17:00, 16:00) - 3h01m = 12:59
+    assert got == [
+        (2, "2024-03-01 10:00:00", "2024-03-01 09:30:00"),  # matched pair
+        (3, "2024-03-01 12:00:00", None),  # watermark-proven null emission
+    ]
