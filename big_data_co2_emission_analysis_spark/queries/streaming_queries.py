@@ -270,22 +270,9 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return result.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
-@register(
-    "streaming_interval_join_outer",
-    # Restrict to purchases the watermark has provably FINALIZED: an
-    # outer stream join only emits an unmatched row once the watermark
-    # proves no match can still arrive, so purchases inside the final
-    # window end the bounded run with their state legitimately still
-    # open -- comparing them would test stream-termination accidentals,
-    # not join semantics.  The finalized region is anchored to
-    # LEAST(max purchase ts, max click ts), NOT the global MAX(ts):
-    # Spark's global watermark (multipleWatermarkPolicy=min) derives
-    # from the two JOINED streams' own max event times, and other event
-    # types (views/errors) can run hours past the last click -- at
-    # sf0.001 max(click ts) trails max(all ts) by ~4 h, which made the
-    # old MAX(ts)-based cutoff include one purchase whose state was
-    # still legitimately open (spark=199 vs duck=200).
-    oracle="""
+# Shared by the default-provider and RocksDB-provider registrations:
+# state-store provider choice must not change the answer.
+_INTERVAL_JOIN_OUTER_ORACLE = """
     WITH cut AS (
       SELECT LEAST(
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
@@ -303,7 +290,25 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
     ORDER BY p_event_id, c_ts
-    """,
+    """
+
+
+@register(
+    "streaming_interval_join_outer",
+    # Restrict to purchases the watermark has provably FINALIZED: an
+    # outer stream join only emits an unmatched row once the watermark
+    # proves no match can still arrive, so purchases inside the final
+    # window end the bounded run with their state legitimately still
+    # open -- comparing them would test stream-termination accidentals,
+    # not join semantics.  The finalized region is anchored to
+    # LEAST(max purchase ts, max click ts), NOT the global MAX(ts):
+    # Spark's global watermark (multipleWatermarkPolicy=min) derives
+    # from the two JOINED streams' own max event times, and other event
+    # types (views/errors) can run hours past the last click -- at
+    # sf0.001 max(click ts) trails max(all ts) by ~4 h, which made the
+    # old MAX(ts)-based cutoff include one purchase whose state was
+    # still legitimately open (spark=199 vs duck=200).
+    oracle=_INTERVAL_JOIN_OUTER_ORACLE,
     tags=("streaming", "join"),
 )
 def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +347,28 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("p_event_id", "c_ts")
     )
+
+
+@register(
+    "streaming_interval_join_outer_rocksdb",
+    # Identical semantics, production state backend: the join's state
+    # lives in per-partition RocksDB instances on executor local disk
+    # (with changelog checkpointing) instead of the default provider's
+    # executor-heap map.  Hash-matching the SAME oracle as the default
+    # run proves the provider swap is answer-invariant -- the property
+    # that lets a 100 TB deployment hold stream-join state on disk.
+    oracle=_INTERVAL_JOIN_OUTER_ORACLE,
+    tags=("streaming", "join", "rocksdb"),
+)
+def streaming_interval_join_outer_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT OUTER interval join under the RocksDB state-store
+    provider (spark.sql.streaming.stateStore.providerClass +
+    changelog checkpointing), run to completion; must be value-identical
+    to ``streaming_interval_join_outer``."""
+    from ..streaming.windows import rocksdb_state
+
+    with rocksdb_state(spark):
+        return streaming_interval_join_outer(spark, sf_dir)
 
 
 @register(

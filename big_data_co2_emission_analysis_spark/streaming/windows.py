@@ -368,11 +368,18 @@ def stream_to_parquet(
     return writer.start()
 
 
-def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_completion(
+    agg: DataFrame,
+    output_mode: str = "complete",
+    progress_out: list | None = None,
+) -> DataFrame:
     """Drive a streaming aggregation over a bounded source to its final
     state via an availableNow trigger + memory sink; returns the result
     as a batch DataFrame.  Used for batch-parity checks and the
-    streaming_* oracle queries."""
+    streaming_* oracle queries.  If ``progress_out`` is a list, the
+    query's final progress dict (state-operator metrics: numRowsTotal,
+    stateMemory, custom per-provider metrics) is appended to it --
+    that's where the state-scale evidence lives."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -384,10 +391,58 @@ def run_to_completion(agg: DataFrame, output_mode: str = "complete") -> DataFram
             .start()
         )
         q.awaitTermination()
+        if progress_out is not None and q.lastProgress is not None:
+            progress_out.append(q.lastProgress)
         spark = agg.sparkSession
         # materialize before the checkpoint dir vanishes
         result = spark.table(name).localCheckpoint(eager=True)
     return result
+
+
+ROCKSDB_STATE_CONFS = {
+    # The production state backend: state lives in per-partition
+    # RocksDB instances on executor LOCAL DISK (block cache in memory),
+    # not in the executor heap like the default HDFS-backed provider
+    # whose entire state map must fit in memory.  At 100 TB-class
+    # stream-stream joins / dedup, state is bounded by disk, and
+    # changelog checkpointing uploads per-batch deltas instead of full
+    # RocksDB snapshots, making commit cost proportional to the batch's
+    # state CHANGES rather than total state size.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+class rocksdb_state:
+    """Context manager switching streaming state to the RocksDB
+    provider (+ changelog checkpointing) for queries started inside the
+    block, restoring prior session confs on exit.  State semantics are
+    provider-independent -- results must be identical to the default
+    provider (pinned by tests and the ``*_rocksdb`` registry query);
+    what changes is WHERE state lives (executor disk vs heap), which is
+    what makes large stateful topologies viable."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in ROCKSDB_STATE_CONFS.items():
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
 
 
 def stream_scd2_merge(
