@@ -444,3 +444,121 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_event_id").asc_nulls_first(), F.col("c_event_id").asc_nulls_first()
         )
     )
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture plus two planted duplicate sets (every
+    fingerprint in the raw fixture is unique, which would make a dedup
+    check vacuous): copies of ``doc_id % 5 == 0`` docs at
+    ``doc_id + 100000`` land one shard over (mod 3) from their original
+    -- CROSS-batch duplicates, one side rejected as ``dup_of_base`` --
+    and copies of ``doc_id % 7 == 0`` docs at ``doc_id + 300000``
+    (300000 % 3 == 0) land in the SAME shard -- within-batch
+    ``dup_in_shard`` rejections."""
+    from ..sources.readers import read_documents
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    return (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(300000))
+        )
+    )
+
+
+def _stage_document_shards(docs: DataFrame, mtime_anchor: str, n_shards: int = 3):
+    """Stage a documents DataFrame as ``n_shards`` single-file parquet
+    shards (split by ``doc_id % n_shards``) with strictly increasing
+    mtimes, so a ``maxFilesPerTrigger=1`` file stream processes them as
+    deterministic, ordered micro-batches (FileStreamSource orders new
+    files by modification time).  Returns (staged_dir, schema)."""
+    import os
+    import shutil
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="docs_shards_")
+    t0 = os.stat(mtime_anchor).st_mtime
+    for b in range(n_shards):
+        tmp = os.path.join(staged, f"_tmp_{b}")
+        docs.filter(F.col("doc_id") % n_shards == b).coalesce(1).write.parquet(tmp)
+        part = next(
+            e for e in os.listdir(tmp)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        )
+        dst = os.path.join(staged, f"shard_{b}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + 60 * b, t0 + 60 * b))
+    return staged, docs.schema
+
+
+@register(
+    "streaming_incremental_dedup",
+    # First arrival wins ACROSS batches (a fingerprint already in the
+    # manifest is dup_of_base), min doc_id wins WITHIN a batch -- with
+    # the deterministic doc_id % 3 sharding and ordered batches, the
+    # survivor per fingerprint is exactly ROW_NUMBER() OVER
+    # (PARTITION BY fingerprint ORDER BY shard, doc_id) = 1.  The
+    # fingerprint replicates operators.dedup.fingerprint:
+    # md5 over whitespace-collapsed lower(trim(text)); the aug CTE
+    # replicates _augmented_docs' planted duplicates (the raw fixture's
+    # fingerprints are all unique -- without planting, nothing would
+    # ever be rejected and the check would be vacuous).
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+             doc_id % 3 AS shard
+      FROM aug
+    ),
+    ranked AS (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY shard, doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, fingerprint FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("streaming", "dedup", "text"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion manifest dedup run to completion: the
+    documents fixture (plus planted cross-batch and within-batch
+    duplicates, see _augmented_docs) streams in as three ordered
+    micro-batches (maxFilesPerTrigger=1), each deduped in foreachBatch
+    against the fingerprint manifest the previous batches built -- the
+    streaming twin of incremental_shard_dedup, with end-to-end
+    exactly-once via per-batch-partition idempotent writes (see
+    streaming/windows.py incremental_dedup_batch)."""
+    import tempfile
+
+    from ..streaming.windows import stream_incremental_dedup
+
+    staged, schema = _stage_document_shards(
+        _augmented_docs(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    )
+    work = tempfile.mkdtemp(prefix="inc_dedup_")
+    manifest, out, ckpt = f"{work}/manifest", f"{work}/out", f"{work}/ckpt"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = stream_incremental_dedup(stream, manifest, out, ckpt)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )

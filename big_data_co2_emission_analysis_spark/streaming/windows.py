@@ -336,6 +336,82 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int, path: str) -> Non
     )
 
 
+def incremental_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    manifest_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming manifest dedup (the foreachBatch
+    body of :func:`stream_incremental_dedup`, module-level so replay can
+    be exercised directly in tests).
+
+    Dedups the batch against the fingerprint manifest built by all
+    PRIOR batches (corpus text is never re-read -- the manifest ships
+    only its fingerprint column), then publishes survivors and their
+    fingerprints into the batch's own ``batch_id=N`` partitions.
+
+    Replay safety (foreachBatch alone is at-least-once): both writes
+    use dynamic partition overwrite, and the manifest read EXCLUDES the
+    current ``batch_id`` -- a replayed batch that already published its
+    fingerprints would otherwise see its own rows as ``dup_of_base``
+    and overwrite its partition with nothing.  Survivors land before
+    the manifest delta, so a crash between the two writes replays to
+    the identical result.
+
+    Scale shape: one shuffle chain on the fingerprint per batch
+    (operators.dedup.incremental_dedup); the ``batch_id < N`` filter
+    partition-prunes the manifest scan.
+    """
+    from ..operators.dedup import incremental_dedup
+
+    spark = batch_df.sparkSession
+    try:
+        base = (
+            spark.read.parquet(manifest_path)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("fingerprint")
+        )
+    except Exception:  # first batch: manifest doesn't exist yet
+        base = spark.createDataFrame([], "fingerprint string")
+    kept = incremental_dedup(batch_df, base, text_col, id_col)
+    write_batch_idempotent(kept, batch_id, out_path)
+    write_batch_idempotent(kept.select("fingerprint"), batch_id, manifest_path)
+
+
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    manifest_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Continuous-ingestion dedup: the streaming twin of the batch
+    ``incremental_dedup`` manifest pipeline.  Each micro-batch of
+    documents is deduped against the manifest of everything already
+    curated (first arrival wins across batches; min ``id_col`` wins
+    within a batch), survivors stream into ``out_path`` and the
+    manifest grows by exactly the survivors' fingerprints -- the
+    steady-state crawl-pipeline shape, end-to-end exactly-once via the
+    checkpoint + per-batch-partition idempotent writes (see
+    :func:`incremental_dedup_batch` for the replay analysis)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: incremental_dedup_batch(
+                df, bid, manifest_path, out_path, text_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_parquet(
     df: DataFrame,
     path: str,

@@ -613,3 +613,37 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
     assert any("rocksdb" in k.lower() for k in custom), custom
     # state actually held rows (join buffers both sides)
     assert sum(op.get("numRowsTotal", 0) for op in ops) > 0
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that re-runs after
+    publishing its outputs (crash before checkpoint commit) must
+    reproduce IDENTICAL out/manifest partitions.  The trap the
+    batch_id-exclusion guards: a replayed batch reads its own
+    already-published fingerprints as 'dup_of_base' and overwrites its
+    partition with nothing."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema)
+    b1 = spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, "gamma")], schema)
+
+    incremental_dedup_batch(b0, 0, manifest, out)
+    incremental_dedup_batch(b1, 1, manifest, out)
+
+    snap = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(p).select(sorted(spark.read.parquet(p).columns)).collect())
+    )
+    out_before, man_before = snap(out), snap(manifest)
+    # batch 0 survivors: alpha->1 (3 is dup_in_shard), beta->2;
+    # batch 1: beta is dup_of_base, gamma->5 (6 dup_in_shard)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 2, 5]
+
+    incremental_dedup_batch(b1, 1, manifest, out)  # replay after publish
+    assert snap(out) == out_before, "replay changed the output"
+    assert snap(manifest) == man_before, "replay changed the manifest"
