@@ -452,10 +452,13 @@ def run_to_completion(
     """Drive a streaming aggregation over a bounded source to its final
     state via an availableNow trigger + memory sink; returns the result
     as a batch DataFrame.  Used for batch-parity checks and the
-    streaming_* oracle queries.  If ``progress_out`` is a list, the
-    query's final progress dict (state-operator metrics: numRowsTotal,
-    stateMemory, custom per-provider metrics) is appended to it --
-    that's where the state-scale evidence lives."""
+    streaming_* oracle queries.  If ``progress_out`` is a list, every
+    retained progress dict (``recentProgress``, oldest first -- state
+    -operator metrics: numRowsTotal, memoryUsedBytes, custom
+    per-provider metrics) is appended to it; the LAST entry is the
+    final progress, but peak state usually sits in the data batches
+    before watermark eviction, so scale evidence should max over all
+    entries (tools/state_scale.py)."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -467,8 +470,8 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
-        if progress_out is not None and q.lastProgress is not None:
-            progress_out.append(q.lastProgress)
+        if progress_out is not None:
+            progress_out.extend(p for p in q.recentProgress if p is not None)
         spark = agg.sparkSession
         # materialize before the checkpoint dir vanishes
         result = spark.table(name).localCheckpoint(eager=True)
