@@ -2003,3 +2003,49 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "zorder_lineitem_roundtrip",
+    # Layout-only invariant: the Z-order rewrite (Morton interleave of
+    # equi-depth bucket ranks, repartitionByRange + local sort) must be
+    # LOSSLESS -- the grouped totals of the rewritten table equal the
+    # source's.  The skipping benefit the layout buys (a 2-D box
+    # predicate pruning files via parquet footer stats) is asserted in
+    # tests/test_layout.py::test_zorder_roundtrip_and_skipping.
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {{dsum}} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """.format(dsum=sql_dsum("l_quantity")),
+    tags=("layout", "sink"),
+)
+def zorder_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite of lineitem on (l_partkey, l_suppkey),
+    read back and re-aggregated: proves the multi-dimensional
+    file-skipping layout (operators/layout.py) rewrites files, not
+    data."""
+    import tempfile
+
+    from ..operators.layout import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = tempfile.mkdtemp(prefix="zorder_li_") + "/data"
+    zorder_write(
+        li.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_returnflag", "l_linestatus",
+        ),
+        ["l_partkey", "l_suppkey"],
+        out,
+        n_files=16,
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
