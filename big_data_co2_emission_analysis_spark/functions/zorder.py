@@ -46,11 +46,41 @@ def _rank(c: Column, mn: Column, mx: Column, bits: int) -> Column:
     )
 
 
-def add_zorder_key(df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "__zkey") -> DataFrame:
-    """Append the Morton key over ``cols``: per-column min/max comes
-    from one lazy aggregate (broadcast back via crossJoin -- a scalar
-    row, no driver collect), each column min-max-normalizes to ``bits``
-    bits, and the bits interleave."""
+def _depth_rank(df: DataFrame, col: str, bits: int, rel_err: float = 0.001) -> Column:
+    """Equi-depth rank in [0, 2^bits) from an ``approxQuantile`` probe
+    (bounded control plane, skew-robust -- min-max normalization
+    collapses when one hot value owns most of the range).  The rank is
+    a fold over the boundary literals: O(2^bits) per row, so pair it
+    with a small ``bits`` (64 buckets is plenty for file skipping)."""
+    n = 1 << bits
+    qs = df.stat.approxQuantile(col, [i / n for i in range(1, n)], rel_err)
+    boundaries = F.array(*[F.lit(float(q)) for q in qs])
+    v = F.col(col).cast("double")
+    return F.aggregate(
+        boundaries,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def add_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    key_col: str = "__zkey",
+    method: str = "minmax",
+) -> DataFrame:
+    """Append the Morton key over ``cols``.  ``method='minmax'``
+    (default): per-column min/max from one lazy aggregate (broadcast
+    back via crossJoin -- a scalar row, no driver collect), each column
+    min-max-normalizes to ``bits`` bits.  ``method='depth'``: equi-depth
+    ranks from an approxQuantile probe per column (skew-robust; use
+    small ``bits``, see ``_depth_rank``)."""
+    if method == "depth":
+        ranks = [_depth_rank(df, c, bits) for c in cols]
+        return df.withColumn(key_col, interleave_bits(ranks, bits))
+    if method != "minmax":
+        raise ValueError(f"unknown zorder rank method: {method!r}")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
@@ -71,12 +101,50 @@ def zorder_write(
     bits: int = 16,
     num_files: int | None = None,
     mode: str = "overwrite",
+    method: str = "minmax",
 ) -> None:
     """Write ``df`` clustered on the Morton key over ``cols``:
     range-partitioned (so files tile the curve, not hash-scatter it)
     and sorted within partitions (so row groups tile it too).  A later
     scan filtering on any of ``cols`` skips files/row-groups by their
     parquet min-max statistics."""
-    keyed = add_zorder_key(df, cols, bits)
+    keyed = add_zorder_key(df, cols, bits, method=method)
     parts = keyed.repartitionByRange(num_files, "__zkey") if num_files else keyed.repartitionByRange("__zkey")
     parts.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(path)
+
+
+def candidate_files(path: str, box: dict[str, tuple[float, float]]) -> tuple[int, int]:
+    """(files a box predicate must open, total files) from parquet
+    footer min/max statistics -- the same pruning decision a
+    stats-aware reader (Spark's parquet row-group filter, lakehouse
+    file skipping) makes.  A file is a candidate iff EVERY predicate
+    column's [min, max] intersects its interval; a column without
+    footer stats cannot be pruned on (treated as intersecting)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, e)
+        for e in os.listdir(path)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    )
+    n_candidates = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo: dict[str, float] = {}
+        hi: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                name = c.path_in_schema
+                if name in box and c.statistics is not None:
+                    lo[name] = min(lo.get(name, float("inf")), c.statistics.min)
+                    hi[name] = max(hi.get(name, float("-inf")), c.statistics.max)
+        if all(
+            name not in lo or not (hi[name] < b_lo or lo[name] > b_hi)
+            for name, (b_lo, b_hi) in box.items()
+        ):
+            n_candidates += 1
+    return n_candidates, len(files)

@@ -2026,11 +2026,11 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zorder_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout rewrite of lineitem on (l_partkey, l_suppkey),
     read back and re-aggregated: proves the multi-dimensional
-    file-skipping layout (operators/layout.py) rewrites files, not
+    file-skipping layout (functions/zorder.py) rewrites files, not
     data."""
     import tempfile
 
-    from ..operators.layout import zorder_write
+    from ..functions.zorder import zorder_write
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = tempfile.mkdtemp(prefix="zorder_li_") + "/data"
@@ -2039,9 +2039,11 @@ def zorder_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_returnflag", "l_linestatus",
         ),
-        ["l_partkey", "l_suppkey"],
         out,
-        n_files=16,
+        ["l_partkey", "l_suppkey"],
+        bits=6,
+        num_files=16,
+        method="depth",
     )
     return (
         spark.read.parquet(out)

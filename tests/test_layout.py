@@ -6,10 +6,10 @@ stats a pruning reader uses."""
 
 from pyspark.sql import functions as F
 
-from big_data_co2_emission_analysis_spark.operators.layout import (
+from big_data_co2_emission_analysis_spark.functions.zorder import (
     candidate_files,
+    interleave_bits,
     zorder_write,
-    zvalue,
 )
 
 
@@ -18,7 +18,7 @@ def test_zvalue_interleaves_bits(spark):
     # (b0=0b101, b1=0b011) -> interleaved from LSB: d0 bit i at 2i,
     # d1 bit i at 2i+1: 0b011011 -> 27... compute expected in python
     df = spark.range(1).select(F.lit(5).alias("a"), F.lit(3).alias("b"))
-    got = df.select(zvalue([F.col("a"), F.col("b")], bits=3).alias("z")).collect()[0]["z"]
+    got = df.select(interleave_bits([F.col("a"), F.col("b")], bits=3).alias("z")).collect()[0]["z"]
     expected = 0
     for i in range(3):
         expected |= ((5 >> i) & 1) << (2 * i)
@@ -31,7 +31,7 @@ def test_zorder_roundtrip_and_skipping(spark, sf_dir, tmp_path):
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
     zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
-    zorder_write(li, ["l_partkey", "l_suppkey"], zpath, n_files=16)
+    zorder_write(li, zpath, ["l_partkey", "l_suppkey"], bits=6, num_files=16, method="depth")
     # baseline: the best single-column layout (range-sorted on l_partkey)
     (
         li.repartitionByRange(16, "l_partkey")
