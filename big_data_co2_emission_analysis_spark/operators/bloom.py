@@ -59,20 +59,26 @@ def build_bloom_bitmap(
     bits_per_key: int = 10,
     k: int = 6,
     max_bits: int = MAX_BITS,
+    m: int | None = None,
 ) -> tuple[bytes, int, int]:
     """Aggregate ``df[key_col]`` into a Bloom bitmap; returns
     ``(bitmap_bytes, m, k)``.
 
-    One count-distinct job sizes m; one explode + bit_or aggregate
-    builds the byte map (<= m/8 rows to the driver, raising past
-    ``max_bits`` instead of collecting an oversized bitmap)."""
-    n = df.select(F.approx_count_distinct(key_col).alias("n")).first()["n"] or 1
-    m = 1 << max(10, math.ceil(math.log2(bits_per_key * n)))
+    One count-distinct job sizes m (unless an explicit ``m`` is given
+    -- required when bitmaps must OR together across builds, e.g. the
+    incrementally-maintained manifest filter, where every snapshot must
+    share the same geometry); one explode + bit_or aggregate builds the
+    byte map (<= m/8 rows to the driver, raising past ``max_bits``
+    instead of collecting an oversized bitmap)."""
+    if m is None:
+        n = df.select(F.approx_count_distinct(key_col).alias("n")).first()["n"] or 1
+        m = 1 << max(10, math.ceil(math.log2(bits_per_key * n)))
     if m > max_bits:
         raise ValueError(
             f"bloom bitmap would need {m} bits (> max_bits={max_bits}) for "
-            f"~{n} keys; keep the filter distributed (partitioned bitmap) "
-            "instead of collecting it, or raise max_bits explicitly"
+            f"the requested capacity; keep the filter distributed "
+            "(partitioned bitmap) instead of collecting it, or raise "
+            "max_bits explicitly"
         )
     pos = F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("pos")
     byte_rows = (
@@ -170,3 +176,39 @@ def bloom_prefilter_jvm(
         out.filter(cond)
         .drop("__bm", *[f"__bpos{i}" for i in range(k)])
     )
+
+
+def with_bloom_hit_jvm(
+    df: DataFrame,
+    key_col: str,
+    bitmap: bytes,
+    m: int,
+    k: int,
+    hit_col: str = "__bloom_hit",
+) -> DataFrame:
+    """Annotate rather than filter: ``hit_col`` is true iff ``key_col``
+    MIGHT be in the filter (no false negatives).  Same codegen'd
+    element_at/shiftright probe as :func:`bloom_prefilter_jvm`, but the
+    caller keeps both sides of the split -- the shape needed when
+    misses take a cheap path and hits take an exact-confirm path
+    (manifest dedup: definitely-new rows skip the join entirely)."""
+    padded = np.frombuffer(bitmap, dtype=np.uint8)
+    if len(padded) % 8:
+        padded = np.pad(padded, (0, 8 - len(padded) % 8))
+    words = [int(w) for w in padded.view("<u8").view(np.int64)]
+    spark = df.sparkSession
+    bm_df = spark.createDataFrame([(words,)], "__bm array<long>")
+
+    out = df.crossJoin(F.broadcast(bm_df))
+    cond = F.lit(True)
+    pos_cols = []
+    for i, pos in enumerate(_positions(F.col(key_col), m, k)):
+        p = f"__bpos{i}"
+        pos_cols.append(p)
+        out = out.withColumn(p, pos)
+        bit = F.expr(
+            f"shiftright(element_at(__bm, CAST(shiftright({p}, 6) AS INT) + 1), "
+            f"CAST({p} % 64 AS INT)) & 1"
+        )
+        cond = cond & (bit == 1)
+    return out.withColumn(hit_col, cond).drop("__bm", *pos_cols)

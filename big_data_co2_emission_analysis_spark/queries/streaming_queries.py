@@ -541,6 +541,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin of incremental_shard_dedup, with end-to-end
     exactly-once via per-batch-partition idempotent writes (see
     streaming/windows.py incremental_dedup_batch)."""
+    return _run_incremental_dedup(spark, sf_dir, bloom_bits=None)
+
+
+def _run_incremental_dedup(
+    spark: SparkSession, sf_dir: str, bloom_bits: int | None
+) -> DataFrame:
     import tempfile
 
     from ..streaming.windows import stream_incremental_dedup
@@ -555,10 +561,51 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    q = stream_incremental_dedup(stream, manifest, out, ckpt)
+    q = stream_incremental_dedup(stream, manifest, out, ckpt, bloom_bits=bloom_bits)
     q.awaitTermination()
     return (
         spark.read.parquet(out)
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "streaming_incremental_dedup_bloom",
+    # Identical semantics, Bloom-accelerated batch body: a cumulative
+    # Bloom filter over the manifest is maintained per batch, and
+    # fingerprints that MISS it are definitely new -- they skip the
+    # manifest join entirely; only possible members pay for the exact
+    # confirm.  Hash-matching the SAME oracle as the exact variant
+    # proves the filter only skips work, never changes answers (no
+    # false negatives by construction).
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+             doc_id % 3 AS shard
+      FROM aug
+    ),
+    ranked AS (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY shard, doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, fingerprint FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("streaming", "dedup", "text", "bloom"),
+)
+def streaming_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming manifest dedup with the Bloom-prefiltered batch
+    body (bloom_bits=2^20): must be value-identical to
+    ``streaming_incremental_dedup`` -- the Bloom split only decides
+    which rows take the exact-confirm join, never the outcome."""
+    return _run_incremental_dedup(spark, sf_dir, bloom_bits=1 << 20)

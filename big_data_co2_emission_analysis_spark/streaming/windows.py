@@ -336,6 +336,34 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int, path: str) -> Non
     )
 
 
+def _bloom_snapshot_path(manifest_path: str, batch_id: int) -> str:
+    import os
+
+    return os.path.join(f"{manifest_path}_bloom", f"cumulative_{batch_id:012d}.bin")
+
+
+def _latest_bloom_snapshot(manifest_path: str, before_batch_id: int):
+    """(bitmap bytes, snapshot batch_id) of the newest cumulative Bloom
+    snapshot strictly older than ``before_batch_id``, or (None, None).
+    Reading only OLDER snapshots is the replay-safety twin of the
+    manifest's ``batch_id < N`` filter."""
+    import os
+    import re
+
+    d = f"{manifest_path}_bloom"
+    if not os.path.isdir(d):
+        return None, None
+    best = None
+    for e in os.listdir(d):
+        mt = re.fullmatch(r"cumulative_(\d{12})\.bin", e)
+        if mt and int(mt.group(1)) < before_batch_id:
+            best = int(mt.group(1)) if best is None else max(best, int(mt.group(1)))
+    if best is None:
+        return None, None
+    with open(_bloom_snapshot_path(manifest_path, best), "rb") as f:
+        return f.read(), best
+
+
 def incremental_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -343,15 +371,23 @@ def incremental_dedup_batch(
     out_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
+    bloom_bits: int | None = None,
+) -> dict:
     """One micro-batch of the streaming manifest dedup (the foreachBatch
     body of :func:`stream_incremental_dedup`, module-level so replay can
-    be exercised directly in tests).
+    be exercised directly in tests).  Returns a small stats dict
+    (``bloom_used``, ``n_definite_new``, ``n_possible_dup``) for
+    monitoring; the counts cost two extra actions per batch and only
+    run on the Bloom path.
 
     Dedups the batch against the fingerprint manifest built by all
     PRIOR batches (corpus text is never re-read -- the manifest ships
     only its fingerprint column), then publishes survivors and their
-    fingerprints into the batch's own ``batch_id=N`` partitions.
+    fingerprints into the batch's own ``batch_id=N`` partitions.  With
+    ``bloom_bits`` set (a power-of-two bitmap size), a cumulative
+    Bloom filter over the manifest is maintained per batch and rows
+    that MISS it skip the manifest join entirely (see
+    :func:`_bloom_split_dedup`).
 
     Replay safety (foreachBatch alone is at-least-once): both writes
     use dynamic partition overwrite, and the manifest read EXCLUDES the
@@ -374,11 +410,119 @@ def incremental_dedup_batch(
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select("fingerprint")
         )
+        base_exists = True
     except Exception:  # first batch: manifest doesn't exist yet
         base = spark.createDataFrame([], "fingerprint string")
-    kept = incremental_dedup(batch_df, base, text_col, id_col)
+        base_exists = False
+
+    stats = {"batch_id": batch_id, "bloom_used": False,
+             "n_definite_new": 0, "n_possible_dup": 0}
+    if bloom_bits is None:
+        kept = incremental_dedup(batch_df, base, text_col, id_col)
+    else:
+        kept, stats = _bloom_split_dedup(
+            batch_df, base, base_exists, batch_id, manifest_path,
+            text_col, id_col, bloom_bits, stats,
+        )
+    # kept is consumed by up to three jobs (out write, manifest delta,
+    # bloom snapshot build); persist so the manifest join runs once.
+    # persist (releasable), NOT localCheckpoint (whose RDD-level block
+    # Dataset.unpersist cannot free -- the ADVICE-r5 leak).  Lazy
+    # recomputation would still be CORRECT: every manifest/snapshot
+    # read filters to batch_id strictly below this batch, so this
+    # batch's own writes are invisible to its lineage.
+    kept = kept.persist()
     write_batch_idempotent(kept, batch_id, out_path)
     write_batch_idempotent(kept.select("fingerprint"), batch_id, manifest_path)
+    if bloom_bits is not None:
+        _publish_bloom_snapshot(kept, batch_id, manifest_path, bloom_bits)
+    kept.unpersist()
+    return stats
+
+
+def _bloom_split_dedup(
+    batch_df: DataFrame,
+    base: DataFrame,
+    base_exists: bool,
+    batch_id: int,
+    manifest_path: str,
+    text_col: str,
+    id_col: str,
+    bloom_bits: int,
+    stats: dict,
+):
+    """The Bloom-accelerated batch body: rows whose fingerprint MISSES
+    the cumulative manifest filter are definitely new (no false
+    negatives) and skip the manifest join entirely -- only possible
+    members pay for the exact confirm.  At crawl scale the manifest is
+    the 100 TB side; the probe is a codegen'd bitmap lookup per row, so
+    steady-state cost tracks the batch's true-duplicate rate instead of
+    its size.  Bloom decisions are a pure function of the fingerprint,
+    so every copy of a fingerprint lands on the same side and the
+    within-side keep-min window stays correct.  If the manifest exists
+    but no snapshot does (filter enabled mid-stream), the whole batch
+    takes the exact path -- never trust an absent filter."""
+    from pyspark.sql import Window as W
+
+    from ..operators.bloom import with_bloom_hit_jvm
+    from ..operators.dedup import fingerprint, incremental_dedup
+
+    bitmap, _ = _latest_bloom_snapshot(manifest_path, batch_id)
+    ann = batch_df.withColumn("fingerprint", fingerprint(text_col))
+    if bitmap is None:
+        if base_exists:
+            # manifest without a snapshot: exact path for everything
+            kept = incremental_dedup(batch_df, base, text_col, id_col)
+            stats["n_possible_dup"] = -1  # unsplit, exact fallback
+            return kept, stats
+        hit = ann.withColumn("__bloom_hit", F.lit(False))
+    else:
+        hit = with_bloom_hit_jvm(ann, "fingerprint", bitmap, bloom_bits, 6)
+    stats["bloom_used"] = True
+
+    w = W.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    definite_new = (
+        hit.filter(~F.col("__bloom_hit"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__bloom_hit", "fingerprint")
+    )
+    possible = hit.filter(F.col("__bloom_hit")).drop("__bloom_hit", "fingerprint")
+    stats["n_definite_new"] = definite_new.count()
+    stats["n_possible_dup"] = possible.count()
+    kept_new = definite_new.withColumn("fingerprint", fingerprint(text_col))
+    kept_possible = incremental_dedup(possible, base, text_col, id_col)
+    return kept_new.unionByName(kept_possible), stats
+
+
+def _publish_bloom_snapshot(
+    kept: DataFrame, batch_id: int, manifest_path: str, bloom_bits: int
+) -> None:
+    """OR this batch's kept fingerprints into the newest prior
+    cumulative snapshot and publish under the batch's own id via
+    tmp + os.replace.  Replay-idempotent for the same reason the
+    manifest is: the base snapshot is strictly older than this batch,
+    and re-ORing identical keys reproduces the identical bitmap."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.bloom import build_bloom_bitmap
+
+    delta, m, _k = build_bloom_bitmap(
+        kept.select("fingerprint"), "fingerprint", m=bloom_bits
+    )
+    prior, _ = _latest_bloom_snapshot(manifest_path, batch_id)
+    merged = np.frombuffer(delta, dtype=np.uint8).copy()
+    if prior is not None:
+        merged |= np.frombuffer(prior, dtype=np.uint8)
+    dst = _bloom_snapshot_path(manifest_path, batch_id)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst))
+    with os.fdopen(fd, "wb") as f:
+        f.write(merged.tobytes())
+    os.replace(tmp, dst)
 
 
 def stream_incremental_dedup(
@@ -389,6 +533,7 @@ def stream_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    bloom_bits: int | None = None,
 ):
     """Continuous-ingestion dedup: the streaming twin of the batch
     ``incremental_dedup`` manifest pipeline.  Each micro-batch of
@@ -402,7 +547,8 @@ def stream_incremental_dedup(
     writer = (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: incremental_dedup_batch(
-                df, bid, manifest_path, out_path, text_col, id_col
+                df, bid, manifest_path, out_path, text_col, id_col,
+                bloom_bits=bloom_bits,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -647,3 +647,62 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     incremental_dedup_batch(b1, 1, manifest, out)  # replay after publish
     assert snap(out) == out_before, "replay changed the output"
     assert snap(manifest) == man_before, "replay changed the manifest"
+
+
+def test_incremental_dedup_bloom_split_and_replay(spark, tmp_path):
+    """The Bloom-accelerated batch body: misses skip the manifest join
+    (definitely new), hits take the exact confirm -- outcomes identical
+    to the exact path, and the cumulative bitmap snapshot is
+    replay-idempotent like the manifest partitions."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        _bloom_snapshot_path,
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema)
+    b1 = spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, "gamma")], schema)
+    BITS = 1 << 14
+
+    s0 = incremental_dedup_batch(b0, 0, manifest, out, bloom_bits=BITS)
+    # first batch: no manifest -> everything definitely new, post-window
+    assert s0["bloom_used"] and s0["n_definite_new"] == 2 and s0["n_possible_dup"] == 0
+
+    s1 = incremental_dedup_batch(b1, 1, manifest, out, bloom_bits=BITS)
+    # beta hits the snapshot (possible dup -> exact confirm kills it);
+    # gamma misses -> skips the join, within-batch window keeps doc 5
+    assert s1["bloom_used"]
+    assert s1["n_definite_new"] == 1
+    assert s1["n_possible_dup"] >= 1  # beta (+ any false positives)
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert survivors == [1, 2, 5]
+
+    snap = open(_bloom_snapshot_path(manifest, 1), "rb").read()
+    incremental_dedup_batch(b1, 1, manifest, out, bloom_bits=BITS)  # replay
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 2, 5]
+    assert open(_bloom_snapshot_path(manifest, 1), "rb").read() == snap
+
+
+def test_incremental_dedup_bloom_exact_fallback_without_snapshot(spark, tmp_path):
+    """Enabling the Bloom filter mid-stream (manifest exists, snapshot
+    doesn't) must NOT treat everything as definitely-new -- the batch
+    falls back to the exact join."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha")], schema)
+    incremental_dedup_batch(b0, 0, manifest, out)  # exact path: no snapshot written
+    b1 = spark.createDataFrame([(2, "alpha")], schema)  # dup of base
+    s1 = incremental_dedup_batch(b1, 1, manifest, out, bloom_bits=1 << 14)
+    assert s1["n_possible_dup"] == -1  # unsplit exact fallback marker
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1]
