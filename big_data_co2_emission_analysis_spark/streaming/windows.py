@@ -372,13 +372,15 @@ def incremental_dedup_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     bloom_bits: int | None = None,
+    collect_stats: bool = False,
 ) -> dict:
     """One micro-batch of the streaming manifest dedup (the foreachBatch
     body of :func:`stream_incremental_dedup`, module-level so replay can
     be exercised directly in tests).  Returns a small stats dict
     (``bloom_used``, ``n_definite_new``, ``n_possible_dup``) for
-    monitoring; the counts cost two extra actions per batch and only
-    run on the Bloom path.
+    monitoring; the split counts cost two extra actions per batch, so
+    they only run when ``collect_stats=True`` (tests/monitoring) -- the
+    production path never pays for them.
 
     Dedups the batch against the fingerprint manifest built by all
     PRIOR batches (corpus text is never re-read -- the manifest ships
@@ -419,10 +421,11 @@ def incremental_dedup_batch(
              "n_definite_new": 0, "n_possible_dup": 0}
     if bloom_bits is None:
         kept = incremental_dedup(batch_df, base, text_col, id_col)
+        bloom_bootstrap = False
     else:
-        kept, stats = _bloom_split_dedup(
+        kept, stats, bloom_bootstrap = _bloom_split_dedup(
             batch_df, base, base_exists, batch_id, manifest_path,
-            text_col, id_col, bloom_bits, stats,
+            text_col, id_col, bloom_bits, stats, collect_stats,
         )
     # kept is consumed by up to three jobs (out write, manifest delta,
     # bloom snapshot build); persist so the manifest join runs once.
@@ -435,9 +438,38 @@ def incremental_dedup_batch(
     write_batch_idempotent(kept, batch_id, out_path)
     write_batch_idempotent(kept.select("fingerprint"), batch_id, manifest_path)
     if bloom_bits is not None:
-        _publish_bloom_snapshot(kept, batch_id, manifest_path, bloom_bits)
+        # On bootstrap (filter enabled mid-stream, or geometry changed:
+        # no USABLE prior snapshot) the published bitmap must cover the
+        # WHOLE manifest, not just this batch -- otherwise the next
+        # batch trusts it as cumulative and admits duplicates of every
+        # pre-enablement document.
+        _publish_bloom_snapshot(
+            kept, batch_id, manifest_path, bloom_bits,
+            bootstrap_base=base if bloom_bootstrap else None,
+        )
     kept.unpersist()
     return stats
+
+
+def _manifest_has_batches_between(
+    manifest_path: str, after_batch_id: int, before_batch_id: int
+) -> bool:
+    """True iff the manifest holds ``batch_id=K`` partitions with
+    ``after < K < before`` -- i.e. the newest Bloom snapshot is STALE
+    (the manifest grew while snapshots weren't being maintained, e.g.
+    a stretch of batches run with ``bloom_bits=None``).  A stale
+    snapshot has false negatives over those batches' fingerprints, so
+    it must not be trusted."""
+    import os
+    import re
+
+    if not os.path.isdir(manifest_path):
+        return False
+    for e in os.listdir(manifest_path):
+        mt = re.fullmatch(r"batch_id=(\d+)", e)
+        if mt and after_batch_id < int(mt.group(1)) < before_batch_id:
+            return True
+    return False
 
 
 def _bloom_split_dedup(
@@ -450,6 +482,7 @@ def _bloom_split_dedup(
     id_col: str,
     bloom_bits: int,
     stats: dict,
+    collect_stats: bool,
 ):
     """The Bloom-accelerated batch body: rows whose fingerprint MISSES
     the cumulative manifest filter are definitely new (no false
@@ -459,22 +492,42 @@ def _bloom_split_dedup(
     steady-state cost tracks the batch's true-duplicate rate instead of
     its size.  Bloom decisions are a pure function of the fingerprint,
     so every copy of a fingerprint lands on the same side and the
-    within-side keep-min window stays correct.  If the manifest exists
-    but no snapshot does (filter enabled mid-stream), the whole batch
-    takes the exact path -- never trust an absent filter."""
+    within-side keep-min window stays correct.
+
+    A snapshot is only trusted when it is USABLE: present, geometry
+    matches (``len(bitmap)*8 == bloom_bits`` -- a restart with a
+    different ``bloom_bits`` would otherwise probe the old bitmap at
+    the wrong modulus and admit duplicates / drop rows), and not stale
+    (no manifest batches newer than the snapshot -- a stretch of
+    bloom-disabled batches would otherwise be invisible to it).  In
+    every no-usable-snapshot case the whole batch takes the exact path
+    and the caller publishes a BOOTSTRAP snapshot rebuilt over the full
+    manifest, so the stream self-heals in one batch.
+
+    Returns ``(kept, stats, bootstrap)`` where ``bootstrap`` tells the
+    caller the published snapshot must cover the whole manifest."""
     from pyspark.sql import Window as W
 
     from ..operators.bloom import with_bloom_hit_jvm
     from ..operators.dedup import fingerprint, incremental_dedup
 
-    bitmap, _ = _latest_bloom_snapshot(manifest_path, batch_id)
+    bitmap, snap_id = _latest_bloom_snapshot(manifest_path, batch_id)
+    if bitmap is not None and len(bitmap) * 8 != bloom_bits:
+        stats["bloom_geometry_mismatch"] = True
+        bitmap = None
+    elif bitmap is not None and _manifest_has_batches_between(
+        manifest_path, snap_id, batch_id
+    ):
+        stats["bloom_snapshot_stale"] = True
+        bitmap = None
     ann = batch_df.withColumn("fingerprint", fingerprint(text_col))
     if bitmap is None:
         if base_exists:
-            # manifest without a snapshot: exact path for everything
+            # manifest without a usable snapshot: exact path for
+            # everything, and tell the caller to bootstrap-publish
             kept = incremental_dedup(batch_df, base, text_col, id_col)
             stats["n_possible_dup"] = -1  # unsplit, exact fallback
-            return kept, stats
+            return kept, stats, True
         hit = ann.withColumn("__bloom_hit", F.lit(False))
     else:
         hit = with_bloom_hit_jvm(ann, "fingerprint", bitmap, bloom_bits, 6)
@@ -488,21 +541,34 @@ def _bloom_split_dedup(
         .drop("__rn", "__bloom_hit", "fingerprint")
     )
     possible = hit.filter(F.col("__bloom_hit")).drop("__bloom_hit", "fingerprint")
-    stats["n_definite_new"] = definite_new.count()
-    stats["n_possible_dup"] = possible.count()
+    if collect_stats:
+        stats["n_definite_new"] = definite_new.count()
+        stats["n_possible_dup"] = possible.count()
     kept_new = definite_new.withColumn("fingerprint", fingerprint(text_col))
     kept_possible = incremental_dedup(possible, base, text_col, id_col)
-    return kept_new.unionByName(kept_possible), stats
+    return kept_new.unionByName(kept_possible), stats, False
 
 
 def _publish_bloom_snapshot(
-    kept: DataFrame, batch_id: int, manifest_path: str, bloom_bits: int
+    kept: DataFrame,
+    batch_id: int,
+    manifest_path: str,
+    bloom_bits: int,
+    bootstrap_base: DataFrame | None = None,
 ) -> None:
     """OR this batch's kept fingerprints into the newest prior
     cumulative snapshot and publish under the batch's own id via
     tmp + os.replace.  Replay-idempotent for the same reason the
     manifest is: the base snapshot is strictly older than this batch,
-    and re-ORing identical keys reproduces the identical bitmap."""
+    and re-ORing identical keys reproduces the identical bitmap.
+
+    With ``bootstrap_base`` set (the exact-fallback path: filter
+    enabled mid-stream, geometry change, or stale snapshot), the
+    bitmap is rebuilt over ``bootstrap_base`` (the FULL prior manifest)
+    union this batch's survivors, and any prior snapshot is ignored --
+    so the first trusted snapshot actually covers every fingerprint
+    the manifest holds.  Replay-safe too: ``bootstrap_base`` is the
+    ``batch_id < N``-filtered manifest, identical on re-run."""
     import os
     import tempfile
 
@@ -510,13 +576,23 @@ def _publish_bloom_snapshot(
 
     from ..operators.bloom import build_bloom_bitmap
 
-    delta, m, _k = build_bloom_bitmap(
-        kept.select("fingerprint"), "fingerprint", m=bloom_bits
-    )
-    prior, _ = _latest_bloom_snapshot(manifest_path, batch_id)
+    build_src = kept.select("fingerprint")
+    if bootstrap_base is not None:
+        build_src = bootstrap_base.select("fingerprint").unionByName(build_src)
+    delta, m, _k = build_bloom_bitmap(build_src, "fingerprint", m=bloom_bits)
     merged = np.frombuffer(delta, dtype=np.uint8).copy()
-    if prior is not None:
-        merged |= np.frombuffer(prior, dtype=np.uint8)
+    if bootstrap_base is None:
+        prior, _ = _latest_bloom_snapshot(manifest_path, batch_id)
+        if prior is not None:
+            if len(prior) != len(merged):
+                # unreachable when the split ran (it validates the same
+                # newest snapshot); loud beats silently under-covering
+                raise RuntimeError(
+                    f"bloom snapshot geometry changed between probe and "
+                    f"publish: prior {len(prior) * 8} bits vs requested "
+                    f"{bloom_bits}"
+                )
+            merged |= np.frombuffer(prior, dtype=np.uint8)
     dst = _bloom_snapshot_path(manifest_path, batch_id)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst))

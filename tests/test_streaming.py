@@ -665,11 +665,15 @@ def test_incremental_dedup_bloom_split_and_replay(spark, tmp_path):
     b1 = spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, "gamma")], schema)
     BITS = 1 << 14
 
-    s0 = incremental_dedup_batch(b0, 0, manifest, out, bloom_bits=BITS)
+    s0 = incremental_dedup_batch(
+        b0, 0, manifest, out, bloom_bits=BITS, collect_stats=True
+    )
     # first batch: no manifest -> everything definitely new, post-window
     assert s0["bloom_used"] and s0["n_definite_new"] == 2 and s0["n_possible_dup"] == 0
 
-    s1 = incremental_dedup_batch(b1, 1, manifest, out, bloom_bits=BITS)
+    s1 = incremental_dedup_batch(
+        b1, 1, manifest, out, bloom_bits=BITS, collect_stats=True
+    )
     # beta hits the snapshot (possible dup -> exact confirm kills it);
     # gamma misses -> skips the join, within-batch window keeps doc 5
     assert s1["bloom_used"]
@@ -706,3 +710,107 @@ def test_incremental_dedup_bloom_exact_fallback_without_snapshot(spark, tmp_path
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     ) == [1]
+
+
+def test_incremental_dedup_bloom_bootstrap_covers_prior_manifest(spark, tmp_path):
+    """The ADVICE-r6 high bug: enabling Bloom mid-stream, the fallback
+    batch published a snapshot built only from ITS OWN survivors -- so
+    the NEXT batch's bitmap had false negatives over every
+    pre-enablement fingerprint and admitted their duplicates.  The
+    bootstrap publish must cover the whole manifest: batch 2 (the
+    first batch that trusts a snapshot) still rejects a duplicate of
+    the batch-0 (pre-enablement) document."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    incremental_dedup_batch(  # bloom OFF: manifest exists, no snapshot
+        spark.createDataFrame([(1, "alpha")], schema), 0, manifest, out
+    )
+    s1 = incremental_dedup_batch(  # bloom enabled mid-stream: fallback
+        spark.createDataFrame([(2, "beta")], schema), 1, manifest, out,
+        bloom_bits=1 << 14,
+    )
+    assert s1["n_possible_dup"] == -1
+    s2 = incremental_dedup_batch(  # first snapshot-trusting batch
+        spark.createDataFrame([(3, "alpha"), (4, "delta")], schema),
+        2, manifest, out, bloom_bits=1 << 14, collect_stats=True,
+    )
+    assert s2["bloom_used"]
+    # "alpha" must HIT the bootstrap snapshot (pre-enablement doc) and
+    # die in the exact confirm; only "delta" survives
+    assert s2["n_possible_dup"] >= 1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 2, 4]
+
+
+def test_incremental_dedup_bloom_geometry_change_heals(spark, tmp_path):
+    """Restarting the stream with a different ``bloom_bits`` must not
+    probe the old snapshot at the wrong modulus (silent dup admission /
+    row loss): the mismatched batch takes the exact path, publishes a
+    full-coverage snapshot at the NEW geometry, and the batch after
+    that trusts it."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        _bloom_snapshot_path,
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    incremental_dedup_batch(
+        spark.createDataFrame([(1, "alpha")], schema), 0, manifest, out,
+        bloom_bits=1 << 14,
+    )
+    s1 = incremental_dedup_batch(  # restart with bigger bitmap
+        spark.createDataFrame([(2, "alpha"), (3, "beta")], schema),
+        1, manifest, out, bloom_bits=1 << 16,
+    )
+    assert s1.get("bloom_geometry_mismatch") and s1["n_possible_dup"] == -1
+    # healed snapshot: new geometry, published under batch 1's id
+    snap = open(_bloom_snapshot_path(manifest, 1), "rb").read()
+    assert len(snap) * 8 == 1 << 16
+    s2 = incremental_dedup_batch(  # trusts the healed snapshot
+        spark.createDataFrame([(4, "alpha"), (5, "gamma")], schema),
+        2, manifest, out, bloom_bits=1 << 16, collect_stats=True,
+    )
+    assert s2["bloom_used"] and s2["n_possible_dup"] >= 1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 3, 5]
+
+
+def test_incremental_dedup_bloom_stale_snapshot_heals(spark, tmp_path):
+    """A stretch of bloom-disabled batches grows the manifest without
+    updating the snapshot; on re-enable the stale snapshot has false
+    negatives over those batches' fingerprints and must NOT be trusted
+    -- the re-enable batch goes exact + bootstrap, and the next batch
+    rejects duplicates of the bloom-disabled-era documents."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    incremental_dedup_batch(
+        spark.createDataFrame([(1, "alpha")], schema), 0, manifest, out,
+        bloom_bits=1 << 14,
+    )
+    incremental_dedup_batch(  # bloom off: manifest grows, snapshot doesn't
+        spark.createDataFrame([(2, "beta")], schema), 1, manifest, out
+    )
+    s2 = incremental_dedup_batch(  # re-enable: snapshot 0 is stale
+        spark.createDataFrame([(3, "gamma")], schema), 2, manifest, out,
+        bloom_bits=1 << 14,
+    )
+    assert s2.get("bloom_snapshot_stale") and s2["n_possible_dup"] == -1
+    s3 = incremental_dedup_batch(  # dup of the bloom-off era doc
+        spark.createDataFrame([(4, "beta"), (5, "delta")], schema),
+        3, manifest, out, bloom_bits=1 << 14, collect_stats=True,
+    )
+    assert s3["bloom_used"] and s3["n_possible_dup"] >= 1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [1, 2, 3, 5]
