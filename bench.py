@@ -37,7 +37,9 @@ from __future__ import annotations
 
 import json
 import os
+import platform
 import sys
+from datetime import datetime, timezone
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -249,6 +251,23 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
+    # host/env fingerprint (VERDICT r6 #4): cross-round comparisons
+    # must be able to tell a plan regression from a different/busier
+    # session environment -- r6's driver run was a uniform ~11% above
+    # the builder's committed run with zero plan changes.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    env = {
+        "hostname": platform.node(),
+        "platform": platform.platform(),
+        "python": platform.python_version(),
+        "cpus_visible": os.cpu_count(),
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "loadavg_1m_at_end": load1,
+        "utc": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+    }
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -259,6 +278,7 @@ def main() -> None:
         "queries_iqr": iqrs,
         "warm_iters_per_query": n_iters,
         "sf": float(sf),
+        "env": env,
     }
     # SPARK_GRAFT_DETAIL_OUT overrides the destination ("-" discards):
     # ad-hoc smoke runs on a hot machine must not clobber the committed

@@ -99,6 +99,91 @@ def build_bloom_bitmap(
     return bitmap.tobytes(), m, k
 
 
+def _bitmap_row_df(spark, bitmap: bytes) -> DataFrame:
+    """The bitmap as a one-row ``__bm array<long>`` DataFrame
+    (little-endian 64-bit words, so bit p lives at word ``p >> 6``
+    offset ``p & 63``) for the JVM-side ``element_at`` probes.
+
+    Shipped through Arrow when available: a py4j/pickle
+    ``createDataFrame`` of a million-element Python list costs ~6 s
+    per call at a 2^26-bit manifest filter (measured), which lands on
+    every micro-batch of the streaming dedup; the Arrow path moves the
+    same words as one buffer in ~0.6 s.  Fallback keeps the plain list
+    path (identical values) when the Arrow conversion is unavailable."""
+    import pandas as pd
+
+    padded = np.frombuffer(bitmap, dtype=np.uint8)
+    if len(padded) % 8:
+        padded = np.pad(padded, (0, 8 - len(padded) % 8))
+    words = padded.view("<u8").view(np.int64)
+    try:
+        return spark.createDataFrame(
+            pd.DataFrame({"__bm": [words]}),
+            schema="__bm array<long>",
+        )
+    except Exception:
+        return spark.createDataFrame(
+            [([int(w) for w in words],)], "__bm array<long>"
+        )
+
+
+def build_bloom_bitmap_sparse(
+    df: DataFrame,
+    key_col: str,
+    m: int,
+    k: int = 6,
+    max_bits: int = MAX_BITS,
+) -> tuple[bytes, int, int]:
+    """Shuffle-free twin of :func:`build_bloom_bitmap` for SMALL key
+    sets (the per-batch snapshot delta of the streaming manifest
+    dedup, where the build runs every micro-batch and the explode +
+    ``groupBy(byte_idx)`` exchange is pure fixed overhead).
+
+    Positions are the identical JVM-side xxhash64 expressions
+    (:func:`_positions`), so the bitmap is BIT-IDENTICAL to the
+    aggregate build at the same (m, k) -- tested.  Instead of
+    exchanging exploded positions, each Arrow batch ORs its masks into
+    sparse ``(byte_idx, byte_val)`` rows inside ``mapInPandas`` (numpy,
+    no per-row Python) and the driver ORs the sparse partials: ONE
+    narrow job, no shuffle, transfer bounded by ``k * n_keys`` set
+    bytes rather than the m/8 dense rows.  Use the aggregate build for
+    dense bitmaps (bootstrap over a whole manifest); use this for
+    per-batch deltas."""
+    if m > max_bits:
+        raise ValueError(
+            f"bloom bitmap would need {m} bits (> max_bits={max_bits}); "
+            "use the distributed aggregate build or raise max_bits"
+        )
+
+    def _partials(batches):
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy()  # flattened k positions per key
+            if len(pos) == 0:
+                continue
+            flat = np.concatenate(pos) if pos.dtype == object else pos
+            byte_idx = (flat >> 3).astype(np.int64)
+            mask = np.left_shift(1, (flat & 7).astype(np.int64))
+            order = np.argsort(byte_idx, kind="stable")
+            byte_idx, mask = byte_idx[order], mask[order]
+            starts = np.flatnonzero(
+                np.r_[True, byte_idx[1:] != byte_idx[:-1]]
+            )
+            ored = np.bitwise_or.reduceat(mask, starts)
+            yield pd.DataFrame(
+                {"byte_idx": byte_idx[starts], "byte_val": ored}
+            )
+
+    rows = (
+        df.select(F.array(*_positions(F.col(key_col), m, k)).alias("pos"))
+        .mapInPandas(_partials, "byte_idx long, byte_val long")
+        .collect()
+    )
+    bitmap = np.zeros(m >> 3, dtype=np.uint8)
+    for r in rows:
+        bitmap[r["byte_idx"]] |= np.uint8(r["byte_val"])
+    return bitmap.tobytes(), m, k
+
+
 def bloom_prefilter(
     df: DataFrame,
     key_col: str,
@@ -154,15 +239,7 @@ def bloom_prefilter_jvm(
     UDF variant (same positions, same bitmap -- parity-tested)."""
     import numpy as np
 
-    padded = np.frombuffer(bitmap, dtype=np.uint8)
-    if len(padded) % 8:
-        padded = np.pad(padded, (0, 8 - len(padded) % 8))
-    # little-endian words make bit p live at word p>>6, offset p&63
-    words = [int(w) for w in padded.view("<u8").view(np.int64)]
-    spark = df.sparkSession
-    bm_df = spark.createDataFrame([(words,)], "__bm array<long>")
-
-    out = df.crossJoin(F.broadcast(bm_df))
+    out = df.crossJoin(F.broadcast(_bitmap_row_df(df.sparkSession, bitmap)))
     cond = F.lit(True)
     for i, pos in enumerate(_positions(F.col(key_col), m, k)):
         p = f"__bpos{i}"
@@ -192,14 +269,7 @@ def with_bloom_hit_jvm(
     caller keeps both sides of the split -- the shape needed when
     misses take a cheap path and hits take an exact-confirm path
     (manifest dedup: definitely-new rows skip the join entirely)."""
-    padded = np.frombuffer(bitmap, dtype=np.uint8)
-    if len(padded) % 8:
-        padded = np.pad(padded, (0, 8 - len(padded) % 8))
-    words = [int(w) for w in padded.view("<u8").view(np.int64)]
-    spark = df.sparkSession
-    bm_df = spark.createDataFrame([(words,)], "__bm array<long>")
-
-    out = df.crossJoin(F.broadcast(bm_df))
+    out = df.crossJoin(F.broadcast(_bitmap_row_df(df.sparkSession, bitmap)))
     cond = F.lit(True)
     pos_cols = []
     for i, pos in enumerate(_positions(F.col(key_col), m, k)):

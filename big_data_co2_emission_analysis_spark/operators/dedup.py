@@ -550,11 +550,14 @@ def connected_components(
     SQL CacheManager; a localCheckpoint's persistence lives on the
     underlying RDD -- empirically, after ``df.localCheckpoint();
     df.unpersist(True)`` the RDD is still in
-    ``sc.getPersistentRDDs``).  So the loop diffs the JVM's persistent
-    -RDD id set around each checkpoint and unpersists the PREVIOUS
-    round's ids through the JavaRDD handles once the convergence probe
-    (its last reader) has run -- long-running sessions hold exactly one
-    round's block, not one per round.  The FINAL round's block backs
+    ``sc.getPersistentRDDs``).  So the loop reads each round's
+    checkpoint RDD id straight off the dataset (the analyzed plan is a
+    ``LogicalRDD`` whose rdd IS the persisted one; a global
+    persistent-set diff is only the fallback, and is the one path that
+    could misattribute a concurrently-persisted RDD) and unpersists
+    the PREVIOUS round's id through the JavaRDD handle once the
+    convergence probe (its last reader) has run -- long-running
+    sessions hold exactly one round's block, not one per round.  The FINAL round's block backs
     the returned DataFrame and intentionally stays; its ids are
     surfaced as ``stats_out["checkpoint_rdd_ids"]`` so callers that
     outlive the result can release it the same way.
@@ -566,6 +569,19 @@ def connected_components(
             return set(sc._jsc.getPersistentRDDs().keySet().toArray())
         except Exception:  # pragma: no cover - py4j surface moved
             return set()
+
+    def _checkpoint_rdd_ids(df: DataFrame, before: set) -> set:
+        # identify THIS dataset's checkpoint block directly: after
+        # localCheckpoint the analyzed plan is a LogicalRDD whose rdd
+        # IS the persisted one (empirically its id is exactly the
+        # getPersistentRDDs delta) -- no misattribution if another
+        # thread persists something concurrently (ADVICE r6 low).
+        try:
+            return {df._jdf.queryExecution().analyzed().rdd().id()}
+        except Exception:  # pragma: no cover - py4j surface moved
+            # fallback: set-diff of global persistent state; correct
+            # only when no concurrent query persists inside the window
+            return _persistent_ids() - before
 
     def _release_rdd_ids(ids: set) -> None:
         try:
@@ -611,7 +627,7 @@ def connected_components(
         )
         before = _persistent_ids()
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        new_ids = _persistent_ids() - before
+        new_ids = _checkpoint_rdd_ids(new_labels, before)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "id")

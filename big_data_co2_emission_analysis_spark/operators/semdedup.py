@@ -369,16 +369,24 @@ def train_sampled_quantizer(
     is bench/scaling territory, where the pair sets are compared
     structurally, not by committed hash.
 
-    Driver memory is bounded by ``sample_rows`` x dim doubles plus the
-    (sample_rows x k) distance block -- ~20k x 450 = 72 MB at the sf10
-    shape; distances use the |x|^2 - 2<x,c> + |c|^2 GEMM form, never
-    the (n, k, dim) broadcast tensor.
+    The sample AUTO-SCALES with k: the effective sample is
+    ``max(sample_rows, 40 * k)`` rows (FAISS warns below ~39 points
+    per centroid; 40 keeps every cell trainable), so the registry's
+    own k = sqrt(N) sizing rule never hits a ValueError cliff --
+    k = 50_000 trains on a 2M-row sample (~7 GB of 450-dim doubles +
+    the chunked distance block, still driver-bounded), and the default
+    20k sample only governs k <= 500.  Driver memory is bounded by
+    ``effective_sample x dim`` doubles plus an (n x k) distance block;
+    distances use the |x|^2 - 2<x,c> + |c|^2 GEMM form, never the
+    (n, k, dim) broadcast tensor.  If the corpus itself has fewer rows
+    than k, that is still an error (k clusters need k points).
     """
     import numpy as np
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    rows = (
+    sample_rows = max(sample_rows, 40 * k)
+    pdf = (
         emb.select(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -388,16 +396,29 @@ def train_sampled_quantizer(
         )
         .orderBy("__h", "id")
         .limit(sample_rows)
-        .collect()
+        # Arrow transfer: the sample lands as numpy arrays, not Python
+        # row objects -- the 40*k auto-scaled sample stays ~8*dim bytes
+        # per row on the driver instead of ~10x that in boxed floats
+        .toPandas()
     )
-    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64) if len(pdf) else np.empty((0, 1))
     if len(X) < k:
-        raise ValueError(f"k={k} exceeds the sample size ({len(X)})")
+        raise ValueError(
+            f"k={k} exceeds the sample size ({len(X)}): the corpus has "
+            f"fewer rows than k even after the 40*k sample auto-scale"
+        )
     C = X[:k].copy()
-    xx = (X * X).sum(axis=1)[:, None]
+    xx = (X * X).sum(axis=1)
+    # distance blocks are CHUNKED to ~256 MB so the (n x k) matrix never
+    # materializes whole -- at k=50k / n=2M that would be 800 GB
+    chunk = max(1, (1 << 25) // max(k, 1))
     for _ in range(n_iter):
-        d2 = xx - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
-        a = d2.argmin(axis=1)
+        cc = (C * C).sum(axis=1)[None, :]
+        a = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), chunk):
+            e = min(s + chunk, len(X))
+            d2 = xx[s:e, None] - 2.0 * (X[s:e] @ C.T) + cc
+            a[s:e] = d2.argmin(axis=1)
         counts = np.bincount(a, minlength=k)
         sums = np.zeros_like(C)
         np.add.at(sums, a, X)

@@ -437,17 +437,26 @@ def incremental_dedup_batch(
     kept = kept.persist()
     write_batch_idempotent(kept, batch_id, out_path)
     write_batch_idempotent(kept.select("fingerprint"), batch_id, manifest_path)
+    kept.unpersist()
     if bloom_bits is not None:
         # On bootstrap (filter enabled mid-stream, or geometry changed:
         # no USABLE prior snapshot) the published bitmap must cover the
         # WHOLE manifest, not just this batch -- otherwise the next
         # batch trusts it as cumulative and admits duplicates of every
-        # pre-enablement document.
+        # pre-enablement document.  The delta source is the manifest
+        # partition just written (identical content to kept, but a
+        # one-partition parquet scan -- the snapshot job then costs a
+        # tiny scan + the sparse build instead of re-walking the
+        # broadcast-join plan through the cache).
+        just_written = (
+            spark.read.parquet(manifest_path)
+            .filter(F.col("batch_id") == F.lit(batch_id))
+            .select("fingerprint")
+        )
         _publish_bloom_snapshot(
-            kept, batch_id, manifest_path, bloom_bits,
+            just_written, batch_id, manifest_path, bloom_bits,
             bootstrap_base=base if bloom_bootstrap else None,
         )
-    kept.unpersist()
     return stats
 
 
@@ -487,12 +496,27 @@ def _bloom_split_dedup(
     """The Bloom-accelerated batch body: rows whose fingerprint MISSES
     the cumulative manifest filter are definitely new (no false
     negatives) and skip the manifest join entirely -- only possible
-    members pay for the exact confirm.  At crawl scale the manifest is
-    the 100 TB side; the probe is a codegen'd bitmap lookup per row, so
-    steady-state cost tracks the batch's true-duplicate rate instead of
-    its size.  Bloom decisions are a pure function of the fingerprint,
-    so every copy of a fingerprint lands on the same side and the
-    within-side keep-min window stays correct.
+    members pay for the exact confirm.
+
+    Plan shape (r7, measured -- see SCALING_CURVE.md "bloom manifest
+    dedup"): the within-batch keep-min window runs ONCE on the whole
+    batch (the same single fingerprint exchange the exact twin pays),
+    and only then is the bloom split applied to the batch-unique
+    winners.  Misses are done at that point (no further work); hits
+    exact-confirm through a broadcast pipeline that never SHUFFLES the
+    manifest: the possible-side fingerprints (bloom-bounded at roughly
+    ``true-dup rate x batch + fp rate``) broadcast-semi-filter the
+    manifest scan, and the surviving manifest keys (even fewer)
+    broadcast back into a ``left_anti`` against the possible side.
+    The exact twin instead hash-partitions the ENTIRE manifest
+    fingerprint column for its join -- at crawl scale the manifest is
+    the 100 TB side, so per-batch cost there grows with the corpus
+    while this path's grows with the batch's duplicate rate: the
+    manifest is scanned (one column, no exchange), never shuffled.
+    Assumption made loud: both broadcasts are bounded by the batch's
+    distinct-fingerprint count -- micro-batches are broadcast-sized by
+    construction; a pipeline whose batches outgrow executor broadcast
+    memory should run ``bloom_bits=None``.
 
     A snapshot is only trusted when it is USABLE: present, geometry
     matches (``len(bitmap)*8 == bloom_bits`` -- a restart with a
@@ -533,20 +557,38 @@ def _bloom_split_dedup(
         hit = with_bloom_hit_jvm(ann, "fingerprint", bitmap, bloom_bits, 6)
     stats["bloom_used"] = True
 
+    # within-batch keep-min FIRST (bloom decisions are a pure function
+    # of the fingerprint, so the winner's split side is every copy's
+    # split side) -- one exchange for the whole batch, reused by the
+    # possible-side anti-join below (both are fingerprint-partitioned).
     w = W.partitionBy("fingerprint").orderBy(F.asc(id_col))
-    definite_new = (
-        hit.filter(~F.col("__bloom_hit"))
-        .withColumn("__rn", F.row_number().over(w))
+    winners = (
+        hit.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__bloom_hit", "fingerprint")
+        .drop("__rn")
     )
-    possible = hit.filter(F.col("__bloom_hit")).drop("__bloom_hit", "fingerprint")
+    definite_new = winners.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    possible = winners.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     if collect_stats:
         stats["n_definite_new"] = definite_new.count()
         stats["n_possible_dup"] = possible.count()
-    kept_new = definite_new.withColumn("fingerprint", fingerprint(text_col))
-    kept_possible = incremental_dedup(possible, base, text_col, id_col)
-    return kept_new.unionByName(kept_possible), stats, False
+    # exact confirm without exchanging the manifest: broadcast the
+    # bloom-bounded candidate keys to semi-filter the manifest SCAN,
+    # then broadcast the (<= candidates) surviving manifest keys into
+    # the left_anti.  The semi-filter side is built from the PRE-window
+    # hits (a distinct over hit fingerprints -- any superset of the
+    # possible side's keys filters base correctly), so the broadcast
+    # subtree never duplicates the window exchange: differently-pruned
+    # window plans would not ReusedExchange and the batch would shuffle
+    # twice.  kept rows already carry their fingerprint.
+    cand_fps = (
+        hit.filter(F.col("__bloom_hit")).select("fingerprint").distinct()
+    )
+    base_hits = base.join(F.broadcast(cand_fps), "fingerprint", "leftsemi")
+    confirmed_new = possible.join(
+        F.broadcast(base_hits), "fingerprint", "left_anti"
+    )
+    return definite_new.unionByName(confirmed_new), stats, False
 
 
 def _publish_bloom_snapshot(
@@ -574,12 +616,20 @@ def _publish_bloom_snapshot(
 
     import numpy as np
 
-    from ..operators.bloom import build_bloom_bitmap
+    from ..operators.bloom import build_bloom_bitmap, build_bloom_bitmap_sparse
 
-    build_src = kept.select("fingerprint")
     if bootstrap_base is not None:
-        build_src = bootstrap_base.select("fingerprint").unionByName(build_src)
-    delta, m, _k = build_bloom_bitmap(build_src, "fingerprint", m=bloom_bits)
+        # full-manifest rebuild: dense bitmap, the aggregate build's shape
+        build_src = bootstrap_base.select("fingerprint").unionByName(
+            kept.select("fingerprint")
+        )
+        delta, m, _k = build_bloom_bitmap(build_src, "fingerprint", m=bloom_bits)
+    else:
+        # per-batch delta: sparse shuffle-free build (bit-identical
+        # positions), so the snapshot maintenance costs one narrow job
+        delta, m, _k = build_bloom_bitmap_sparse(
+            kept.select("fingerprint"), "fingerprint", m=bloom_bits
+        )
     merged = np.frombuffer(delta, dtype=np.uint8).copy()
     if bootstrap_base is None:
         prior, _ = _latest_bloom_snapshot(manifest_path, batch_id)

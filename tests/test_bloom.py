@@ -89,3 +89,28 @@ def test_jvm_prefilter_parity_with_udf_variant(spark):
     jvm_set = {r["key"] for r in bloom_prefilter_jvm(both, "key", bitmap, m, k).collect()}
     assert jvm_set == udf_set
     assert {f"in-{i}" for i in range(1500)} <= jvm_set  # no false negatives
+
+
+def test_sparse_build_bit_identical_to_aggregate_build(spark):
+    """build_bloom_bitmap_sparse (the shuffle-free per-batch delta
+    build) must produce byte-for-byte the bitmap of the aggregate
+    build at the same geometry -- the streaming snapshot ORs deltas
+    from one onto bootstraps from the other."""
+    from big_data_co2_emission_analysis_spark.operators.bloom import (
+        build_bloom_bitmap,
+        build_bloom_bitmap_sparse,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(3000)], "key string"
+    ).repartition(7)
+    m = 1 << 15
+    dense, m1, k1 = build_bloom_bitmap(keys, "key", m=m)
+    sparse, m2, k2 = build_bloom_bitmap_sparse(keys, "key", m=m)
+    assert (m1, k1) == (m2, k2)
+    assert dense == sparse
+
+    # empty input -> all-zero bitmap, not an error
+    empty = spark.createDataFrame([], "key string")
+    z, _, _ = build_bloom_bitmap_sparse(empty, "key", m=1 << 12)
+    assert z == bytes(1 << 12 >> 3)

@@ -249,6 +249,25 @@ def test_train_sampled_quantizer_deterministic_and_separating(spark):
         train_sampled_quantizer(emb, k=200, sample_rows=80)
 
 
+def test_train_sampled_quantizer_sample_autoscales_with_k(spark):
+    """The VERDICT-r6 k ceiling: k = sqrt(N) sizing used to hit a
+    ValueError cliff when k outgrew the FIXED 20k (here: 50) sample.
+    The sample now auto-scales to max(sample_rows, 40*k), so a k well
+    past the configured sample trains fine as long as the corpus has
+    >= k rows -- and returns exactly k centroids."""
+    from big_data_co2_emission_analysis_spark.operators.semdedup import (
+        train_sampled_quantizer,
+    )
+
+    n = 1200
+    rows = [(i, [float(i % 31), float((i * 7) % 17)]) for i in range(n)]
+    emb = _emb(spark, rows)
+    # k=600 >> sample_rows=50: pre-fix this raised; now the effective
+    # sample is 40*600=24k -> the whole 1200-row corpus, which is >= k
+    cents = train_sampled_quantizer(emb, k=600, sample_rows=50, n_iter=2)
+    assert len(cents) == 600 and all(len(c) == 2 for c in cents)
+
+
 def test_bigk_query_matches_literal_path_at_fixture_scale(spark, sf_dir):
     """semdedup_pairs_bigk routes through assign_by_broadcast_centroids
     but must produce the EXACT same pair set as semdedup_pairs at
