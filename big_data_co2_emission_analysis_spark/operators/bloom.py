@@ -81,22 +81,32 @@ def build_bloom_bitmap(
             "max_bits explicitly"
         )
     pos = F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("pos")
-    byte_rows = (
+    word_rows = (
         df.select(pos)
+        # aggregate at 64-bit-WORD granularity, not bytes: a DENSE
+        # bitmap (a 2^29-bit manifest bootstrap) would yield m/8 ~ 67M
+        # byte rows whose row overhead alone blows
+        # spark.driver.maxResultSize; words cut the row count 8x and
+        # the Arrow transfer + vectorized scatter keep the driver side
+        # sub-second.  Little-endian word layout == the byte layout
+        # (bit p -> word p>>6 offset p&63 -> byte p>>3 bit p&7), so
+        # the bitmap is bit-identical to the sparse builder's.
         # python-side shiftLeft only takes a literal shift, so the
         # variable shift goes through SQL text
         .selectExpr(
-            "CAST(pos DIV 8 AS LONG) AS byte_idx",
-            "CAST(shiftleft(1, CAST(pos % 8 AS INT)) AS LONG) AS mask",
+            "CAST(pos DIV 64 AS LONG) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS mask",
         )
-        .groupBy("byte_idx")
-        .agg(F.expr("bit_or(mask)").alias("byte_val"))
-        .collect()
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word_val"))
     )
-    bitmap = np.zeros(m >> 3, dtype=np.uint8)
-    for r in byte_rows:
-        bitmap[r["byte_idx"]] = r["byte_val"]
-    return bitmap.tobytes(), m, k
+    from ..session import arrow_transfer
+
+    with arrow_transfer(df.sparkSession):
+        word_rows = word_rows.toPandas()
+    words = np.zeros(m >> 6, dtype=np.int64)
+    words[word_rows["word_idx"].to_numpy()] = word_rows["word_val"].to_numpy()
+    return words.tobytes(), m, k
 
 
 def _bitmap_row_df(spark, bitmap: bytes) -> DataFrame:
@@ -112,15 +122,18 @@ def _bitmap_row_df(spark, bitmap: bytes) -> DataFrame:
     path (identical values) when the Arrow conversion is unavailable."""
     import pandas as pd
 
+    from ..session import arrow_transfer
+
     padded = np.frombuffer(bitmap, dtype=np.uint8)
     if len(padded) % 8:
         padded = np.pad(padded, (0, 8 - len(padded) % 8))
     words = padded.view("<u8").view(np.int64)
     try:
-        return spark.createDataFrame(
-            pd.DataFrame({"__bm": [words]}),
-            schema="__bm array<long>",
-        )
+        with arrow_transfer(spark):
+            return spark.createDataFrame(
+                pd.DataFrame({"__bm": [words]}),
+                schema="__bm array<long>",
+            )
     except Exception:
         return spark.createDataFrame(
             [([int(w) for w in words],)], "__bm array<long>"
@@ -173,14 +186,19 @@ def build_bloom_bitmap_sparse(
                 {"byte_idx": byte_idx[starts], "byte_val": ored}
             )
 
-    rows = (
-        df.select(F.array(*_positions(F.col(key_col), m, k)).alias("pos"))
-        .mapInPandas(_partials, "byte_idx long, byte_val long")
-        .collect()
-    )
+    from ..session import arrow_transfer
+
+    rows = df.select(
+        F.array(*_positions(F.col(key_col), m, k)).alias("pos")
+    ).mapInPandas(_partials, "byte_idx long, byte_val long")
+    with arrow_transfer(df.sparkSession):
+        rows = rows.toPandas()
     bitmap = np.zeros(m >> 3, dtype=np.uint8)
-    for r in rows:
-        bitmap[r["byte_idx"]] |= np.uint8(r["byte_val"])
+    np.bitwise_or.at(
+        bitmap,
+        rows["byte_idx"].to_numpy(),
+        rows["byte_val"].to_numpy().astype(np.uint8),
+    )
     return bitmap.tobytes(), m, k
 
 

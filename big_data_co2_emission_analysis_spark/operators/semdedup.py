@@ -386,7 +386,9 @@ def train_sampled_quantizer(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sample_rows = max(sample_rows, 40 * k)
-    pdf = (
+    from ..session import arrow_transfer
+
+    sample = (
         emb.select(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -396,11 +398,13 @@ def train_sampled_quantizer(
         )
         .orderBy("__h", "id")
         .limit(sample_rows)
-        # Arrow transfer: the sample lands as numpy arrays, not Python
-        # row objects -- the 40*k auto-scaled sample stays ~8*dim bytes
-        # per row on the driver instead of ~10x that in boxed floats
-        .toPandas()
     )
+    # Arrow transfer (forced -- caller sessions may not enable it): the
+    # sample lands as numpy arrays, not Python row objects -- the 40*k
+    # auto-scaled sample stays ~8*dim bytes per row on the driver
+    # instead of ~10x that in boxed floats
+    with arrow_transfer(emb.sparkSession):
+        pdf = sample.toPandas()
     X = np.stack(pdf["v"].to_numpy()).astype(np.float64) if len(pdf) else np.empty((0, 1))
     if len(X) < k:
         raise ValueError(

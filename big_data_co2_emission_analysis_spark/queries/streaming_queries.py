@@ -545,7 +545,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_incremental_dedup(
-    spark: SparkSession, sf_dir: str, bloom_bits: int | None
+    spark: SparkSession, sf_dir: str, bloom_bits: int | None,
+    confirm: str = "shuffle",
 ) -> DataFrame:
     import tempfile
 
@@ -561,7 +562,9 @@ def _run_incremental_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    q = stream_incremental_dedup(stream, manifest, out, ckpt, bloom_bits=bloom_bits)
+    q = stream_incremental_dedup(
+        stream, manifest, out, ckpt, bloom_bits=bloom_bits, confirm=confirm
+    )
     q.awaitTermination()
     return (
         spark.read.parquet(out)
@@ -609,3 +612,46 @@ def streaming_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataF
     ``streaming_incremental_dedup`` -- the Bloom split only decides
     which rows take the exact-confirm join, never the outcome."""
     return _run_incremental_dedup(spark, sf_dir, bloom_bits=1 << 20)
+
+
+@register(
+    "streaming_incremental_dedup_bcast",
+    # Identical semantics, broadcast-confirm batch body: the manifest
+    # is SCANNED but never hash-partitioned -- the batch's distinct
+    # fingerprints broadcast-semi-filter the manifest and the
+    # surviving keys broadcast into a left_anti (the corpus-side
+    # shuffle the default body pays every batch is gone; see
+    # streaming/windows.py _broadcast_confirm_dedup and the measured
+    # three-way comparison in SCALING_CURVE.md).  Same oracle as the
+    # exact variant: the plan shape changes, the answer cannot.
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+             doc_id % 3 AS shard
+      FROM aug
+    ),
+    ranked AS (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY shard, doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, fingerprint FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("streaming", "dedup", "text"),
+)
+def streaming_incremental_dedup_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming manifest dedup with the broadcast-confirm batch
+    body (``confirm='broadcast'``): must be value-identical to
+    ``streaming_incremental_dedup`` -- only the join strategy against
+    the manifest changes (broadcast semi-filter + anti, no manifest
+    exchange), never the survivors."""
+    return _run_incremental_dedup(spark, sf_dir, bloom_bits=None, confirm="broadcast")

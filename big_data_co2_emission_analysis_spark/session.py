@@ -16,6 +16,7 @@ the settings a large cluster wants from day one:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -54,3 +55,36 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+@_contextmanager
+def arrow_transfer(spark: SparkSession):
+    """Force Arrow for a pandas-boundary transfer regardless of the
+    caller's session config, restoring the prior setting on exit.
+
+    The engine's :func:`get_session` enables Arrow globally, but
+    operators must not DEPEND on that -- the round driver (and any
+    user) may hand us a vanilla ``SparkSession``, and the pickle
+    fallback is catastrophic for wide transfers: the streaming-dedup
+    probe bitmap (one row holding 2^23 longs at a 2^29-bit filter)
+    ships in ~0.6 s via Arrow and in MINUTES via pickle -- the sole
+    cause of a 267 s/batch outlier in the r7 bloom sweep before this
+    guard (SCALING_CURVE.md "bloom manifest dedup").  Wrap every
+    ``toPandas``/``createDataFrame(pandas)`` whose volume scales with
+    data, not just fixture size."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        old = spark.conf.get(key, None)
+    except Exception:
+        old = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        try:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        except Exception:
+            pass

@@ -373,6 +373,7 @@ def incremental_dedup_batch(
     id_col: str = "doc_id",
     bloom_bits: int | None = None,
     collect_stats: bool = False,
+    confirm: str = "shuffle",
 ) -> dict:
     """One micro-batch of the streaming manifest dedup (the foreachBatch
     body of :func:`stream_incremental_dedup`, module-level so replay can
@@ -385,11 +386,26 @@ def incremental_dedup_batch(
     Dedups the batch against the fingerprint manifest built by all
     PRIOR batches (corpus text is never re-read -- the manifest ships
     only its fingerprint column), then publishes survivors and their
-    fingerprints into the batch's own ``batch_id=N`` partitions.  With
-    ``bloom_bits`` set (a power-of-two bitmap size), a cumulative
-    Bloom filter over the manifest is maintained per batch and rows
-    that MISS it skip the manifest join entirely (see
-    :func:`_bloom_split_dedup`).
+    fingerprints into the batch's own ``batch_id=N`` partitions.
+
+    Three value-identical batch bodies (measured head-to-head in
+    SCALING_CURVE.md "bloom manifest dedup"):
+
+    - ``confirm='shuffle'`` (default): one shuffle chain joining batch
+      and manifest on the fingerprint (operators.dedup
+      incremental_dedup).  The manifest side is hash-partitioned EVERY
+      batch -- per-batch cost grows with the corpus.
+    - ``confirm='broadcast'``: within-batch keep-min window (one
+      exchange, batch-sized), then the batch's distinct fingerprints
+      broadcast-semi-filter the manifest SCAN and the surviving
+      manifest keys broadcast back into a ``left_anti`` -- the
+      manifest is scanned, never shuffled.  Assumes micro-batches are
+      broadcast-sized (they are, by construction of a stream).
+    - ``bloom_bits=<m>``: the broadcast shape plus a cumulative Bloom
+      filter over the manifest; rows that MISS it skip even the
+      confirm, shrinking the broadcast to ~the true-duplicate rate
+      (see :func:`_bloom_split_dedup`), at the price of maintaining an
+      m-bit snapshot per batch.  ``confirm`` is ignored when set.
 
     Replay safety (foreachBatch alone is at-least-once): both writes
     use dynamic partition overwrite, and the manifest read EXCLUDES the
@@ -398,13 +414,11 @@ def incremental_dedup_batch(
     and overwrite its partition with nothing.  Survivors land before
     the manifest delta, so a crash between the two writes replays to
     the identical result.
-
-    Scale shape: one shuffle chain on the fingerprint per batch
-    (operators.dedup.incremental_dedup); the ``batch_id < N`` filter
-    partition-prunes the manifest scan.
     """
     from ..operators.dedup import incremental_dedup
 
+    if confirm not in ("shuffle", "broadcast"):
+        raise ValueError(f"confirm must be shuffle|broadcast, got {confirm!r}")
     spark = batch_df.sparkSession
     try:
         base = (
@@ -419,7 +433,10 @@ def incremental_dedup_batch(
 
     stats = {"batch_id": batch_id, "bloom_used": False,
              "n_definite_new": 0, "n_possible_dup": 0}
-    if bloom_bits is None:
+    if bloom_bits is None and confirm == "broadcast":
+        kept = _broadcast_confirm_dedup(batch_df, base, text_col, id_col)
+        bloom_bootstrap = False
+    elif bloom_bits is None:
         kept = incremental_dedup(batch_df, base, text_col, id_col)
         bloom_bootstrap = False
     else:
@@ -479,6 +496,38 @@ def _manifest_has_batches_between(
         if mt and after_batch_id < int(mt.group(1)) < before_batch_id:
             return True
     return False
+
+
+def _broadcast_confirm_dedup(
+    batch_df: DataFrame,
+    base: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact manifest confirm that never EXCHANGES the manifest (the
+    ``confirm='broadcast'`` batch body; the bloom split is this shape
+    plus the bitmap pre-filter): within-batch keep-min window (one
+    fingerprint exchange, batch-sized), the batch's distinct
+    fingerprints -- built from the PRE-window rows so the broadcast
+    subtree doesn't duplicate the window exchange -- broadcast-
+    semi-filter the manifest scan, and the surviving manifest keys
+    (<= batch distinct count) broadcast into a ``left_anti``.
+    Value-identical to :func:`operators.dedup.incremental_dedup`
+    (oracle-checked via the registry twin)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import fingerprint
+
+    ann = batch_df.withColumn("fingerprint", fingerprint(text_col))
+    w = W.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    winners = (
+        ann.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cand_fps = ann.select("fingerprint").distinct()
+    base_hits = base.join(F.broadcast(cand_fps), "fingerprint", "leftsemi")
+    return winners.join(F.broadcast(base_hits), "fingerprint", "left_anti")
 
 
 def _bloom_split_dedup(
@@ -625,11 +674,21 @@ def _publish_bloom_snapshot(
         )
         delta, m, _k = build_bloom_bitmap(build_src, "fingerprint", m=bloom_bits)
     else:
-        # per-batch delta: sparse shuffle-free build (bit-identical
-        # positions), so the snapshot maintenance costs one narrow job
-        delta, m, _k = build_bloom_bitmap_sparse(
-            kept.select("fingerprint"), "fingerprint", m=bloom_bits
-        )
+        # per-batch delta: the sparse shuffle-free build (bit-identical
+        # positions, one narrow job) -- but its transfer grows with the
+        # KEY count (~16 B x 6 positions/key), so a corpus-sized first
+        # batch must take the dense word-aggregate instead (transfer
+        # bounded by m/4 bytes regardless of keys).  The count is a
+        # parquet metadata read of the just-written partition.
+        n_delta = kept.count()
+        if n_delta * 384 < bloom_bits:
+            delta, m, _k = build_bloom_bitmap_sparse(
+                kept.select("fingerprint"), "fingerprint", m=bloom_bits
+            )
+        else:
+            delta, m, _k = build_bloom_bitmap(
+                kept.select("fingerprint"), "fingerprint", m=bloom_bits
+            )
     merged = np.frombuffer(delta, dtype=np.uint8).copy()
     if bootstrap_base is None:
         prior, _ = _latest_bloom_snapshot(manifest_path, batch_id)
@@ -660,6 +719,7 @@ def stream_incremental_dedup(
     id_col: str = "doc_id",
     available_now: bool = True,
     bloom_bits: int | None = None,
+    confirm: str = "shuffle",
 ):
     """Continuous-ingestion dedup: the streaming twin of the batch
     ``incremental_dedup`` manifest pipeline.  Each micro-batch of
@@ -669,12 +729,24 @@ def stream_incremental_dedup(
     manifest grows by exactly the survivors' fingerprints -- the
     steady-state crawl-pipeline shape, end-to-end exactly-once via the
     checkpoint + per-batch-partition idempotent writes (see
-    :func:`incremental_dedup_batch` for the replay analysis)."""
+    :func:`incremental_dedup_batch` for the replay analysis and the
+    ``confirm``/``bloom_bits`` batch-body variants).
+
+    Scale guidance (measured three-way in SCALING_CURVE.md "bloom
+    manifest dedup"): ``confirm='broadcast'`` is the at-scale
+    configuration -- per-batch shuffle stays batch-sized (~5 MB at a
+    50k batch) while the default body's grows linearly with the
+    corpus (161 MB/batch at a 5M-row manifest and climbing).
+    ``bloom_bits`` is opt-in within its envelope (manifest <= ~10^8
+    fingerprints at 1% FP under the 2^30-bit cap): its bitmap
+    maintenance scales with the manifest like the scan it optimizes,
+    so it only pays when the batch's distinct-fingerprint broadcast
+    is itself too large."""
     writer = (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: incremental_dedup_batch(
                 df, bid, manifest_path, out_path, text_col, id_col,
-                bloom_bits=bloom_bits,
+                bloom_bits=bloom_bits, confirm=confirm,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -649,7 +649,71 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert snap(manifest) == man_before, "replay changed the manifest"
 
 
-def test_incremental_dedup_bloom_split_and_replay(spark, tmp_path):
+def test_incremental_dedup_broadcast_confirm_matches_exact(spark, tmp_path):
+    """confirm='broadcast' (manifest scanned, never exchanged) must
+    produce identical survivors/manifest to the default shuffle-join
+    body, batch over batch and under replay."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema)
+    b1 = spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, "gamma")], schema)
+
+    outs = {}
+    for mode in ("shuffle", "broadcast"):
+        manifest = str(tmp_path / f"m_{mode}")
+        out = str(tmp_path / f"o_{mode}")
+        incremental_dedup_batch(b0, 0, manifest, out, confirm=mode)
+        incremental_dedup_batch(b1, 1, manifest, out, confirm=mode)
+        incremental_dedup_batch(b1, 1, manifest, out, confirm=mode)  # replay
+        outs[mode] = sorted(
+            (r["doc_id"], r["fingerprint"])
+            for r in spark.read.parquet(out).select("doc_id", "fingerprint").collect()
+        )
+    assert outs["shuffle"] == outs["broadcast"]
+    assert [d for d, _ in outs["broadcast"]] == [1, 2, 5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="confirm must be"):
+        incremental_dedup_batch(b1, 2, str(tmp_path / "x"), str(tmp_path / "y"),
+                                confirm="bogus")
+
+
+def test_broadcast_confirm_plan_never_exchanges_manifest(spark, tmp_path):
+    """The point of confirm='broadcast': the manifest side reaches its
+    joins through BroadcastExchange/BroadcastHashJoin only -- no
+    ShuffleExchange sits between the manifest scan and its joins.  The
+    window's single exchange (batch side) is the only shuffle."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        _broadcast_confirm_dedup,
+    )
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [("f1",), ("f2",)], "fingerprint string"
+    ).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    df = _broadcast_confirm_dedup(batch, base, "text", "doc_id")
+    df.collect()  # AQE finalizes on the SAME dataset's queryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both manifest-side joins are broadcast: a SortMergeJoin or
+    # ShuffledHashJoin would mean the manifest got hash-partitioned
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the only hash exchanges are batch-side (window + candidate
+    # distinct); the parquet manifest scan feeds joins directly.
+    # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" --
+    # count exchanges in the executed section only
+    import re
+
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final_plan)) <= 2, plan
     """The Bloom-accelerated batch body: misses skip the manifest join
     (definitely new), hits take the exact confirm -- outcomes identical
     to the exact path, and the cumulative bitmap snapshot is

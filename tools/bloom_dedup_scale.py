@@ -36,6 +36,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes across completed stages, via the
+    local UI REST API -- diffed around each timed run to attribute
+    bytes per batch.  Local[32] wall-clock hides the shuffle (same
+    process, page cache); BYTES are the cluster-scale cost driver:
+    every one crosses the network and hits shuffle disks there."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=50_000)
@@ -113,36 +133,46 @@ def main() -> None:
             batch = dups.unionByName(fresh).repartition(int(cpus))
             batch.persist().count()  # take source generation out of the timing
 
-            timings: dict[str, list[float]] = {"exact": [], "bloom": []}
+            variants = (
+                ("exact", {"bloom_bits": None}),
+                ("bcast", {"bloom_bits": None, "confirm": "broadcast"}),
+                ("bloom", {"bloom_bits": m_bits}),
+            )
+            timings: dict[str, list[float]] = {n: [] for n, _ in variants}
+            shuffle_b: dict[str, list[int]] = {n: [] for n, _ in variants}
             counts: dict[str, int] = {}
             for rep in range(args.reps):
-                for label, bits in (("exact", None), ("bloom", m_bits)):
+                for label, kw in variants:
+                    sb0 = _shuffle_write_bytes(spark)
                     t0 = time.time()
-                    incremental_dedup_batch(
-                        batch, 1, manifest, out, bloom_bits=bits
-                    )
+                    incremental_dedup_batch(batch, 1, manifest, out, **kw)
                     timings[label].append(time.time() - t0)
+                    sb1 = _shuffle_write_bytes(spark)
+                    if sb0 is not None and sb1 is not None and sb1 >= sb0:
+                        shuffle_b[label].append(sb1 - sb0)
                     counts[label] = (
                         spark.read.parquet(out)
                         .filter(F.col("batch_id") == 1)
                         .count()
                     )
             batch.unpersist()
-            assert counts["exact"] == counts["bloom"], counts
-            points.append(
-                {
-                    "manifest_rows": M,
-                    "batch_rows": B,
-                    "ratio": ratio,
-                    "bloom_bits": m_bits,
-                    "dup_rate": args.dup,
-                    "survivors": counts["exact"],
-                    "exact_sec": round(statistics.median(timings["exact"]), 3),
-                    "bloom_sec": round(statistics.median(timings["bloom"]), 3),
-                    "exact_all": [round(t, 3) for t in timings["exact"]],
-                    "bloom_all": [round(t, 3) for t in timings["bloom"]],
-                }
-            )
+            assert len(set(counts.values())) == 1, counts
+            point = {
+                "manifest_rows": M,
+                "batch_rows": B,
+                "ratio": ratio,
+                "bloom_bits": m_bits,
+                "dup_rate": args.dup,
+                "survivors": counts["exact"],
+            }
+            for label, _ in variants:
+                point[f"{label}_sec"] = round(statistics.median(timings[label]), 3)
+                point[f"{label}_all"] = [round(t, 3) for t in timings[label]]
+                if shuffle_b[label]:
+                    point[f"{label}_shuffle_mb"] = round(
+                        statistics.median(shuffle_b[label]) / 1e6, 2
+                    )
+            points.append(point)
             print(json.dumps(points[-1]), flush=True)
         finally:
             shutil.rmtree(work, ignore_errors=True)
