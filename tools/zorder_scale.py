@@ -75,10 +75,20 @@ def main() -> None:
     results = []
     for factor in args.factors:
         reps = spark.range(factor).withColumnRenamed("id", "__rep")
+        # decorrelated domain scaling: partkey bands follow the replica
+        # id, suppkey bands follow a per-row hash -- shifting BOTH keys
+        # by the same replica would make the dimensions block-diagonal
+        # correlated, and a single-column partkey sort would spuriously
+        # "prune" suppkey filters through the shared band structure
         df = (
             base.crossJoin(F.broadcast(reps))
             .withColumn("l_partkey", F.col("l_partkey") + F.col("__rep") * F.lit(p_max))
-            .withColumn("l_suppkey", F.col("l_suppkey") + F.col("__rep") * F.lit(s_max))
+            .withColumn(
+                "l_suppkey",
+                F.col("l_suppkey")
+                + F.pmod(F.xxhash64("l_orderkey", "__rep"), F.lit(factor))
+                * F.lit(s_max),
+            )
             .drop("__rep")
         )
         # files grow sublinearly (bigger files at scale, like a real
@@ -117,30 +127,41 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
     # hot-key method probe at factor 1: 30% of rows collapse onto one
-    # key, 0.1% become 100x outliers -- equi-width ranks collapse, the
-    # quantile boundaries don't
+    # key, 0.1% become FAR outliers (2*10^5 x the max -- far enough
+    # that the dense mass maps to < 1 of the 2^16 equi-width ranks:
+    # min-max normalization collapses, quantile boundaries don't)
     skewed = base.withColumn(
         "l_partkey",
         F.when(F.pmod(F.xxhash64("l_orderkey"), F.lit(1000)) < 300, F.lit(1))
         .when(
             F.pmod(F.xxhash64("l_orderkey"), F.lit(1000)) == 999,
-            (F.col("l_partkey") + F.lit(100 * p_max)).cast("long"),
+            (F.col("l_partkey") + F.lit(200_000 * p_max)).cast("long"),
         )
         .otherwise(F.col("l_partkey")),
     )
-    dense_box = {
-        "l_partkey": (0.45 * p_max, 0.55 * p_max),
-        "l_suppkey": (0.45 * s_max, 0.55 * s_max),
+    hot_boxes = {
+        # 2-D box over the dense mass: the collapsed dimension can hide
+        # behind the healthy one, so the gap here is mild
+        "dense_box": {
+            "l_partkey": (0.45 * p_max, 0.55 * p_max),
+            "l_suppkey": (0.45 * s_max, 0.55 * s_max),
+        },
+        # partkey-ONLY filter: with min-max ranks collapsed (every
+        # dense row -> rank 0), the z-key carries no partkey signal and
+        # every file's raw partkey stats span the dense range -- the
+        # failure the equi-depth option exists for
+        "dense_partkey_only": {"l_partkey": (0.45 * p_max, 0.55 * p_max)},
     }
-    hot = {"probe": "hot_key_dense_box", "factor": 1}
+    hot = {"probe": "hot_key", "factor": 1}
     work = tempfile.mkdtemp(prefix="zorder_hot_")
     try:
         for method, bits in (("minmax", 16), ("depth", 6)):
             path = f"{work}/{method}"
             zorder_write(skewed, path, ["l_partkey", "l_suppkey"],
                          bits=bits, num_files=args.base_files, method=method)
-            cand, total = candidate_files(path, dense_box)
-            hot[f"zorder_{method}"] = f"{cand}/{total}"
+            for bname, box in hot_boxes.items():
+                cand, total = candidate_files(path, box)
+                hot[f"zorder_{method}/{bname}"] = f"{cand}/{total}"
         results.append(hot)
         print(json.dumps(hot), flush=True)
     finally:
