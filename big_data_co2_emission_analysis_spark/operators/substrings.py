@@ -128,3 +128,105 @@ def duplicated_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_token_frac"),
     )
+
+
+def removal_intervals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Merged token-position intervals [start, end] (1-based, inclusive)
+    that a keep-first substring-dedup pass removes from each document.
+
+    Keep-first is the paper's policy (Lee et al. 2022 keep one copy of
+    each repeated substring): for every corpus-wide duplicated window
+    hash, the lexicographically first occurrence (min (doc, pos)) is
+    RETAINED; every other occurrence becomes a removal hit, and a
+    document's removal set is the interval union of its hits'
+    [pos, pos+k-1] spans.
+
+    Scale shape: the first occurrence rides the SAME map-side-combined
+    groupBy that finds duplicated windows (``min(struct(doc, pos))`` is
+    an agg, NOT a per-hash window sort -- a million-way boilerplate
+    window costs one combiner cell, no single-partition key sort); the
+    mark-join is 1:1 per posting (no pair expansion); interval merging
+    is the classic running-max sweep, two window passes keyed by doc.
+    """
+    post = window_postings(docs, id_col, text_col, k)
+    dup_first = (
+        post.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("wh", "__first")
+    )
+    removals = post.join(dup_first, "wh").filter(
+        ~(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+    ).select(id_col, "pos")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    swept = (
+        removals.withColumn("__end", F.col("pos") + (k - 1))
+        .withColumn("__cummax", F.max("__end").over(wrun))
+        .withColumn("__prev_max", F.lag("__cummax").over(w))
+        .withColumn(
+            "__new_grp",
+            F.when(
+                F.col("__prev_max").isNull() | (F.col("pos") > F.col("__prev_max") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__grp", F.sum("__new_grp").over(wrun))
+    )
+    return swept.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("start"), F.max("__end").alias("end")
+    ).select(id_col, "start", "end")
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """The REWRITE step of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    remove every token covered by a non-first occurrence of a
+    corpus-wide duplicated k-token window and emit the cleaned text.
+
+    Returns (id, n_tokens, n_removed, clean_text), one row per input
+    document (documents with nothing removed pass through verbatim,
+    normalized).  ``duplicated_span_stats`` is the report; this is the
+    pass that actually cuts the corpus.
+
+    The rebuild is native expressions end-to-end: merged removal
+    intervals are collected per document (bounded by n_tokens/2 after
+    merging, in practice a handful) and tokens are dropped with an
+    indexed ``F.filter`` + ``F.exists`` membership test --
+    O(n_tokens x n_intervals) per document, fine for document-sized
+    texts; no Python UDF, no token-level join, no pair expansion.
+    """
+    iv = removal_intervals(docs, id_col, text_col, k)
+    per_doc = iv.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__ivs")
+    )
+    tokens = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    joined = docs.select(F.col(id_col), tokens.alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    ivs = F.coalesce(F.col("__ivs"), F.array())
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            ivs, lambda v: (i + 1 >= v["start"]) & (i + 1 <= v["end"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

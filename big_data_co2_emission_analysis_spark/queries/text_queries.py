@@ -1600,6 +1600,73 @@ def substring_dup_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "substring_dedup_rewrite",
+    oracle=f"""
+    WITH
+    {_SUBSTR_CTES},
+    first_occ AS (
+      SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+        SELECT w.wh, w.doc_id, w.pos,
+               ROW_NUMBER() OVER (PARTITION BY w.wh ORDER BY w.doc_id, w.pos) AS rn
+        FROM win w JOIN dup USING (wh)
+      ) WHERE rn = 1
+    ),
+    removals AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN first_occ f USING (wh)
+      WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)
+    ),
+    swept AS (
+      SELECT doc_id, pos, pos + {_SUBSTR_K - 1} AS e,
+             MAX(pos + {_SUBSTR_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cm
+      FROM removals
+    ),
+    grp AS (
+      SELECT doc_id, pos, e,
+             SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos, e,
+                   LAG(cm) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+            FROM swept)
+    ),
+    merged AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+    tok AS (
+      SELECT doc_id, CAST(t.i + 1 AS BIGINT) AS p, toks[t.i + 1] AS tk
+      FROM norm, UNNEST(range(0, len(toks))) AS t(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.p, tok.tk
+      FROM tok
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = tok.doc_id AND tok.p BETWEEN m.s AND m.e)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(tk, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM norm n LEFT JOIN agg a USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite step of exact substring dedup (Lee et al. 2022):
+    every token covered by a non-first occurrence of a corpus-wide
+    duplicated k-token window is removed (keep-first policy) and the
+    cleaned text emitted -- ``substring_dup_stats`` is the report,
+    this is the pass that actually cuts the corpus."""
+    from ..operators.substrings import substring_dedup_rewrite as rewrite
+
+    return rewrite(_docs(spark, sf_dir), k=_SUBSTR_K).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Flagship curation pipeline v2: FOUR stages composed -- token-count
 # quality gate -> bigram-LM perplexity filter (<= 31.0; a production

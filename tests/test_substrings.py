@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from big_data_co2_emission_analysis_spark.operators.substrings import (
     duplicated_span_stats,
     duplicated_windows,
+    removal_intervals,
+    substring_dedup_rewrite,
     token_windows,
     window_postings,
 )
@@ -76,6 +78,70 @@ def test_no_dups_reports_zero(spark):
         assert out[d].n_dup_windows == 0
         assert out[d].covered_tokens == 0
         assert out[d].dup_token_frac == 0.0
+
+
+def test_rewrite_keeps_first_occurrence(spark):
+    # "a b c d" shared by docs 1 and 2: doc 1 (lexicographically first)
+    # keeps it verbatim; doc 2 loses the union of its dup windows
+    # [1..3] u [2..4] = tokens 1..4, keeping only "y"
+    df = _docs(spark, [(1, "a b c d x"), (2, "a b c d y")])
+    out = {r.doc_id: r for r in substring_dedup_rewrite(df, k=3).collect()}
+    assert out[1].clean_text == "a b c d x"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "y"
+    assert out[2].n_removed == 4
+    assert out[2].n_tokens == 5
+
+
+def test_rewrite_same_doc_repeat_keeps_first(spark):
+    # "x y z" twice inside one doc: pos 1 kept, pos 5 removed
+    df = _docs(spark, [(1, "x y z q x y z")])
+    out = substring_dedup_rewrite(df, k=3).collect()[0]
+    assert out.clean_text == "x y z q"
+    assert out.n_removed == 3
+
+
+def test_rewrite_untouched_doc_passes_through_normalized(spark):
+    df = _docs(spark, [(1, "  P q   R s t ")])
+    out = substring_dedup_rewrite(df, k=3).collect()[0]
+    assert out.clean_text == "p q r s t"  # normalize_text semantics
+    assert out.n_removed == 0
+
+
+def test_rewrite_fully_removed_doc_is_empty_string(spark):
+    # doc 2 and doc 3 are both copies of doc 1's trigram: every token
+    # of docs 2 and 3 is covered -> empty clean_text, row still present
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "a b c")])
+    out = {r.doc_id: r for r in substring_dedup_rewrite(df, k=3).collect()}
+    assert out[1].clean_text == "a b c"
+    assert out[2].clean_text == ""
+    assert out[3].clean_text == ""
+    assert out[2].n_removed == 3
+
+
+def test_removal_intervals_merge_adjacent_and_overlapping(spark):
+    # doc 2 duplicates doc 1's "a b c" (pos 1) and "d e f" (pos 4):
+    # spans [1..3] and [4..6] are adjacent -> one merged interval
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    ivs = removal_intervals(df, k=3).collect()
+    by_doc = {}
+    for r in ivs:
+        by_doc.setdefault(r.doc_id, []).append((r.start, r.end))
+    assert 1 not in by_doc  # first occurrence holder loses nothing
+    assert sorted(by_doc[2]) == [(1, 6)]
+
+
+def test_rewrite_partition_invariance(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    a = sorted(
+        substring_dedup_rewrite(docs.repartition(1), k=5).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        substring_dedup_rewrite(docs.repartition(7), k=5).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b
 
 
 def test_partition_invariance(spark, sf_dir):
