@@ -27,6 +27,62 @@ def tokenize(text_col) -> "F.Column":
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
 
 
+def _bm25_scored_frame(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(__id, __term, __tf, __s): the per-(doc, term) BM25 partial
+    before the per-document sum -- shared by the multi-term scorer and
+    the per-term retrieval-eval run builder."""
+    base = docs.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    dl = base.select("__id", F.size("__toks").alias("__len"))
+
+    # corpus scalars: exact integer sum / count division
+    stats = dl.agg(
+        F.count("*").alias("__n"),
+        (F.sum("__len").cast("double") / F.count("*")).alias("__avgdl"),
+    )
+
+    toks = base.select("__id", F.explode("__toks").alias("__term")).filter(
+        F.col("__term").isin(terms)
+    )
+    tf = toks.groupBy("__id", "__term").agg(F.count("*").alias("__tf"))
+    dfreq = toks.groupBy("__term").agg(F.count_distinct("__id").alias("__df"))
+
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(dl, "__id")
+        .join(F.broadcast(stats))
+        .select(
+            "__id",
+            "__term",
+            "__tf",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                )
+                * (F.col("__tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("__len") / F.col("__avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -48,51 +104,33 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
 
-    base = docs.select(
-        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
-    )
-    dl = base.select("__id", F.size("__toks").alias("__len"))
-
-    # corpus scalars: exact integer sum / count division
-    stats = dl.agg(
-        F.count("*").alias("__n"),
-        (F.sum("__len").cast("double") / F.count("*")).alias("__avgdl"),
-    )
-
-    toks = base.select("__id", F.explode("__toks").alias("__term")).filter(
-        F.col("__term").isin(terms)
-    )
-    tf = toks.groupBy("__id", "__term").agg(F.count("*").alias("__tf"))
-    dfreq = toks.groupBy("__term").agg(F.count_distinct("__id").alias("__df"))
-
-    scored = (
-        tf.join(F.broadcast(dfreq), "__term")
-        .join(dl, "__id")
-        .join(F.broadcast(stats))
-        .select(
-            "__id",
-            "__term",
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("__n") - F.col("__df") + F.lit(0.5))
-                    / (F.col("__df") + F.lit(0.5))
-                )
-                * (F.col("__tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("__tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("__len") / F.col("__avgdl")
-                    )
-                )
-            ).alias("__s"),
-        )
-    )
+    scored = _bm25_scored_frame(docs, terms, id_col, text_col, k1, b)
     return scored.groupBy("__id").agg(
         F.sum("__s").alias("score"), F.count("*").alias("n_matched_terms")
     ).select(F.col("__id").alias(id_col), "score", "n_matched_terms")
+
+
+def bm25_per_term(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_term, id, tf, score): each query term treated as its own
+    single-term query -- the run builder for retrieval evaluation
+    (operators/ir_eval.py), where every term is one evaluated query."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    return _bm25_scored_frame(docs, terms, id_col, text_col, k1, b).select(
+        F.col("__term").alias("query_term"),
+        F.col("__id").alias(id_col),
+        F.col("__tf").cast("long").alias("tf"),
+        F.col("__s").alias("score"),
+    )
 
 
 def ranked_topn(

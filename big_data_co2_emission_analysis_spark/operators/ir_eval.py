@@ -1,0 +1,109 @@
+"""Distributed retrieval-quality evaluation: recall@k, precision@k,
+MRR@k, nDCG@k per query from a run table and a graded-relevance qrels
+table -- the eval harness a RAG / retrieval pipeline runs after every
+index or ranker change (TREC-style, computed as two keyed aggregates
+instead of a per-query driver loop).
+
+Inputs:
+
+- ``run``:   (query, doc, rank) -- rank 1-based, one row per retrieved
+  doc, already cut to the candidate depth.
+- ``qrels``: (query, doc, rel)  -- graded relevance > 0; docs absent
+  from qrels are irrelevant.
+
+Scale shape: the run->qrels join is keyed (query, doc) and 1:1; DCG /
+MRR / hit counts are one map-side-combined groupBy over run rows; the
+ideal-DCG ranking is a per-query ``row_number`` window over qrels
+(the one per-query sort -- bounded by the qrels list, which TREC-style
+eval keeps orders of magnitude under the corpus; a hot query with a
+corpus-sized qrels list would sort one partition, noted here rather
+than hidden).  No driver loop, no collect: metrics for a million
+queries are one DataFrame.
+
+Gain convention: DCG gain = 2^rel - 1, discount = log2(rank + 1)
+(the standard "burges" nDCG).  rel is small-integer graded, so the
+gain is exact; each gain/discount term is quantized to 9 dp and summed
+in int64 fixed-point (queries/_exact.dsum) so the DCG sums are
+order-independent across partitionings and engines, and the residual
+per-term log ULP wobble is absorbed by rounding the reported metrics
+to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..queries._exact import dsum
+
+#: fixed-point scale for DCG term sums: values are O(1) per term, so
+#: 9 dp keeps the int64 headroom at ~9.2e9 summed gain units -- far
+#: beyond any per-query candidate list
+DCG_SCALE = 9
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_term",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval metrics at depth ``k``:
+
+    (query, n_rel, n_hit_k, recall_at_k, precision_at_k, mrr_at_k,
+    ndcg_at_k), one row per query present in ``qrels`` (queries with an
+    empty run score 0 everywhere).  All rates are 6-dp-rounded doubles.
+    """
+    gain = lambda c: F.pow(F.lit(2.0), F.col(c)) - F.lit(1.0)  # noqa: E731
+    disc = lambda c: F.log2(F.col(c).cast("double") + F.lit(1.0))  # noqa: E731
+
+    hits = (
+        run.filter(F.col(rank_col) <= k)
+        .join(qrels, [query_col, id_col], "left")
+        .withColumn("__rel", F.coalesce(F.col(rel_col), F.lit(0)))
+    )
+    per_run = hits.groupBy(query_col).agg(
+        F.sum((F.col("__rel") > 0).cast("long")).alias("n_hit_k"),
+        dsum(gain("__rel") / disc(rank_col), DCG_SCALE).alias("__dcg"),
+        F.max(
+            F.when(F.col("__rel") > 0, F.lit(1.0) / F.col(rank_col))
+        ).alias("__rr"),
+    )
+
+    wq = W.partitionBy(query_col).orderBy(F.desc(rel_col), F.asc(id_col))
+    ideal = (
+        qrels.withColumn("__irank", F.row_number().over(wq))
+        .filter(F.col("__irank") <= k)
+        .groupBy(query_col)
+        .agg(dsum(gain(rel_col) / disc("__irank"), DCG_SCALE).alias("__idcg"))
+    )
+    n_rel = qrels.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return (
+        n_rel.join(ideal, query_col)
+        .join(per_run, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.coalesce(F.col("n_hit_k"), F.lit(0)).cast("long").alias("n_hit_k"),
+            r6(
+                F.coalesce(F.col("n_hit_k"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+            r6(
+                F.coalesce(F.col("n_hit_k"), F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("precision_at_k"),
+            r6(F.coalesce(F.col("__rr"), F.lit(0.0))).alias("mrr_at_k"),
+            r6(
+                F.when(
+                    F.col("__idcg") > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                ).otherwise(F.lit(0.0))
+            ).alias("ndcg_at_k"),
+        )
+    )

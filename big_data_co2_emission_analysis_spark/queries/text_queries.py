@@ -11,7 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._exact import davg, sql_davg, sql_fx
+from ._exact import davg, sql_davg, sql_dsum, sql_fx
 from .registry import register
 
 
@@ -1062,8 +1062,12 @@ _BM25_TERMS = ("spark", "shuffle", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-#: shared BM25 SQL pipeline (also the lexical arm of the RRF hybrid)
-_BM25_SCORED_CTES = f"""
+def _bm25_ctes(terms: tuple[str, ...]) -> str:
+    """The BM25 SQL pipeline for a given query-term set, ending in
+    ``scored (doc_id, term, tf, s)`` -- shared by the top-k query, the
+    RRF hybrid's lexical arm, and the retrieval-eval harness (which
+    evaluates a wider query set than the fixed 3-term headline)."""
+    return f"""
     toks AS (
       SELECT doc_id, t.term
       FROM documents, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS t(term)
@@ -1073,11 +1077,11 @@ _BM25_SCORED_CTES = f"""
     stats AS (
       SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
     ),
-    q AS (SELECT doc_id, term FROM toks WHERE term IN {str(tuple(_BM25_TERMS))}),
+    q AS (SELECT doc_id, term FROM toks WHERE term IN {str(tuple(terms))}),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM q GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
     scored AS (
-      SELECT tf.doc_id,
+      SELECT tf.doc_id, tf.term, tf.tf,
              LN(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
                * (tf.tf * ({_BM25_K1} + 1.0))
                / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * dl.len / stats.avgdl))
@@ -1088,6 +1092,10 @@ _BM25_SCORED_CTES = f"""
       CROSS JOIN stats
     )
 """
+
+
+#: shared BM25 SQL pipeline (also the lexical arm of the RRF hybrid)
+_BM25_SCORED_CTES = _bm25_ctes(_BM25_TERMS)
 
 
 @register(
@@ -1116,6 +1124,94 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation (operators/ir_eval.py): each BM25 query term is
+# its own evaluated query; graded qrels derive from term frequency
+# (rel = min(tf, 3) -- the "how centrally does the doc mention the
+# term" proxy), so the whole TREC-style harness -- run building, ideal
+# ranking, recall/precision/MRR/nDCG -- replays in SQL.  Ranks order by
+# the 6-dp-rounded score (ULP-stable) with doc_id tie-break; DCG sums
+# are 9-dp fixed-point (order-independent across engines).
+# --------------------------------------------------------------------------
+_EVAL_K = 10
+#: the evaluated query set: one single-term query per term ("shuffle"
+#: from the headline triple is absent from the synthetic vocabulary,
+#: so the eval set swaps it for five terms that appear at every SF)
+_EVAL_TERMS = ("data", "join", "spark", "stream", "vector", "window")
+
+
+@register(
+    "bm25_eval_metrics",
+    oracle=f"""
+    WITH
+    {_bm25_ctes(_EVAL_TERMS)},
+    run AS (
+      SELECT term AS query_term, doc_id, rnk FROM (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY term ORDER BY ROUND(s, 6) DESC, doc_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    qrels AS (SELECT term AS query_term, doc_id, LEAST(tf, 3) AS rel FROM scored),
+    hits AS (
+      SELECT r.query_term, r.rnk, COALESCE(q.rel, 0) AS rel
+      FROM run r LEFT JOIN qrels q USING (query_term, doc_id)
+    ),
+    per_run AS (
+      SELECT query_term,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_k,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)", 9)} AS dcg,
+             MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END) AS rr
+      FROM hits GROUP BY query_term
+    ),
+    ideal AS (
+      SELECT query_term,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(irank + 1.0)", 9)} AS idcg
+      FROM (SELECT query_term, rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_term ORDER BY rel DESC, doc_id) AS irank
+            FROM qrels)
+      WHERE irank <= {_EVAL_K} GROUP BY query_term
+    ),
+    nrel AS (SELECT query_term, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY query_term)
+    SELECT n.query_term, n.n_rel,
+           COALESCE(p.n_hit_k, 0) AS n_hit_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / {_EVAL_K}.0, 6) AS precision_at_k,
+           ROUND(COALESCE(p.rr, 0.0), 6) AS mrr_at_k,
+           ROUND(CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg, 0.0) / i.idcg
+                      ELSE 0.0 END, 6) AS ndcg_at_k
+    FROM nrel n JOIN ideal i USING (query_term) LEFT JOIN per_run p USING (query_term)
+    ORDER BY n.query_term
+    """,
+    tags=("text", "ranking", "eval"),
+)
+def bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style retrieval evaluation of the BM25 ranker: per query
+    term, recall@10 / precision@10 / MRR@10 / nDCG@10 against graded
+    tf-derived qrels -- the eval harness a RAG pipeline runs after
+    every ranker or index change, fully distributed (no driver loop)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.ranking import bm25_per_term
+    from ..operators.ir_eval import retrieval_metrics
+
+    per = bm25_per_term(_docs(spark, sf_dir), list(_EVAL_TERMS))
+    w = W.partitionBy("query_term").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    run = (
+        per.select("query_term", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _EVAL_K)
+    )
+    qrels = per.select(
+        "query_term", "doc_id", F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel")
+    )
+    return retrieval_metrics(run, qrels, k=_EVAL_K).orderBy("query_term")
 
 
 # --------------------------------------------------------------------------

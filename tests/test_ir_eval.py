@@ -1,0 +1,88 @@
+"""Retrieval-eval operator (operators/ir_eval.py): hand-computed
+recall/precision/MRR/nDCG on tiny run+qrels tables, zero-row edges,
+depth cut, and the registry query's engine-vs-oracle agreement is
+covered by check_oracle (bm25_eval_metrics)."""
+
+import math
+
+import pytest
+
+from big_data_co2_emission_analysis_spark.operators.ir_eval import retrieval_metrics
+
+
+def _run(spark, rows):
+    return spark.createDataFrame(rows, "query_term string, doc_id long, rank long")
+
+
+def _qrels(spark, rows):
+    return spark.createDataFrame(rows, "query_term string, doc_id long, rel int")
+
+
+def test_metrics_hand_computed(spark):
+    # run for q: d9 (irrelevant), d1 (rel 3), d3 (rel 2); qrels has d2 too
+    run = _run(spark, [("q", 9, 1), ("q", 1, 2), ("q", 3, 3)])
+    qrels = _qrels(spark, [("q", 1, 3), ("q", 2, 1), ("q", 3, 2)])
+    out = retrieval_metrics(run, qrels, k=3).collect()[0]
+
+    assert out.n_rel == 3
+    assert out.n_hit_k == 2
+    assert out.recall_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert out.precision_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert out.mrr_at_k == pytest.approx(1 / 2, abs=1e-6)
+    dcg = 7 / math.log2(3) + 3 / math.log2(4)
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert out.ndcg_at_k == pytest.approx(dcg / idcg, abs=1e-5)
+
+
+def test_no_relevant_retrieved_scores_zero(spark):
+    run = _run(spark, [("q", 8, 1), ("q", 9, 2)])
+    qrels = _qrels(spark, [("q", 1, 2)])
+    out = retrieval_metrics(run, qrels, k=2).collect()[0]
+    assert out.n_hit_k == 0
+    assert out.recall_at_k == 0.0
+    assert out.mrr_at_k == 0.0
+    assert out.ndcg_at_k == 0.0
+
+
+def test_query_with_empty_run_still_reported(spark):
+    run = _run(spark, [("a", 1, 1)])
+    qrels = _qrels(spark, [("a", 1, 1), ("b", 2, 3)])
+    out = {r.query_term: r for r in retrieval_metrics(run, qrels, k=5).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"].n_hit_k == 0
+    assert out["b"].ndcg_at_k == 0.0
+    assert out["a"].recall_at_k == pytest.approx(1.0)
+    assert out["a"].mrr_at_k == pytest.approx(1.0)
+    assert out["a"].ndcg_at_k == pytest.approx(1.0)
+
+
+def test_depth_cut_ignores_ranks_past_k(spark):
+    # the only relevant doc sits at rank 3, but k=2 cuts it
+    run = _run(spark, [("q", 8, 1), ("q", 9, 2), ("q", 1, 3)])
+    qrels = _qrels(spark, [("q", 1, 2)])
+    out = retrieval_metrics(run, qrels, k=2).collect()[0]
+    assert out.n_hit_k == 0
+    assert out.mrr_at_k == 0.0
+
+
+def test_perfect_ranking_ndcg_is_one(spark):
+    run = _run(spark, [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)])
+    qrels = _qrels(spark, [("q", 1, 3), ("q", 2, 2), ("q", 3, 1)])
+    out = retrieval_metrics(run, qrels, k=3).collect()[0]
+    assert out.ndcg_at_k == pytest.approx(1.0, abs=1e-6)
+    assert out.recall_at_k == pytest.approx(1.0)
+    assert out.precision_at_k == pytest.approx(1.0)
+
+
+def test_partition_invariance(spark):
+    rows_run = [("q%d" % (i % 7), i, (i % 9) + 1) for i in range(200)]
+    rows_qrels = [("q%d" % (i % 7), i, (i % 4)) for i in range(0, 200, 3)]
+    rows_qrels = [(q, d, r) for q, d, r in rows_qrels if r > 0]
+    run, qrels = _run(spark, rows_run), _qrels(spark, rows_qrels)
+    a = sorted(
+        retrieval_metrics(run.repartition(1), qrels.repartition(1), k=5).collect()
+    )
+    b = sorted(
+        retrieval_metrics(run.repartition(13), qrels.repartition(7), k=5).collect()
+    )
+    assert a == b
