@@ -129,6 +129,11 @@ HEADLINE = [
     "semdedup_pairs_bigk",
     "substring_dup_stats",
     "logreg_quality_scores",
+    # round-7 additions: the substring-dedup REWRITE pass (the cut
+    # substring_dup_stats only measured) and the TREC-style retrieval
+    # eval harness over the BM25 ranker
+    "substring_dedup_rewrite",
+    "bm25_eval_metrics",
 ]
 
 
