@@ -163,6 +163,48 @@ def ranked_topn(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    salt_on: list[str] | None = None,
+    rank_col: str = "rank",
+    fan: int = 32,
+) -> DataFrame:
+    """Per-group top-``k`` with bounded sorts: a two-level tournament
+    instead of one ``row_number`` window per group.
+
+    A direct ``Window.partitionBy(group)`` ranks each group in ONE
+    task — with few groups over a large table (6 query terms over a
+    corpus) that is a handful of corpus-sized single-partition sorts.
+    Here level 1 splits every group into ``fan`` deterministic salt
+    lanes (hash of ``salt_on``, default the group columns plus nothing
+    row-unique — PASS the unique tie-break column for real spread),
+    keeps k per lane, and level 2 ranks the surviving ``fan * k`` rows
+    per group — bounded regardless of group size.  Value-identical to
+    the direct window provided ``order_cols`` is a total order (give
+    it a unique tie-break column) and lane assignment is deterministic
+    per row (``salt_on`` must be row-identifying within a group).
+    """
+    from pyspark.sql import Window
+
+    salt_cols = salt_on if salt_on is not None else group_cols
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(fan))
+    w1 = Window.partitionBy(*group_cols, "__lane").orderBy(*order_cols)
+    cand = (
+        df.withColumn("__lane", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__lane", "__r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def rrf_fuse(
     rankings: dict[str, DataFrame],
     id_col: str = "doc_id",

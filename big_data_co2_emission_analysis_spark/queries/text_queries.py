@@ -1195,19 +1195,19 @@ def bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, recall@10 / precision@10 / MRR@10 / nDCG@10 against graded
     tf-derived qrels -- the eval harness a RAG pipeline runs after
     every ranker or index change, fully distributed (no driver loop)."""
-    from pyspark.sql import Window as W
-
-    from ..functions.ranking import bm25_per_term
+    from ..functions.ranking import bm25_per_term, grouped_topk
     from ..operators.ir_eval import retrieval_metrics
 
     per = bm25_per_term(_docs(spark, sf_dir), list(_EVAL_TERMS))
-    w = W.partitionBy("query_term").orderBy(
-        F.desc(F.round("score", 6)), F.asc("doc_id")
-    )
-    run = (
-        per.select("query_term", "doc_id", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= _EVAL_K)
-    )
+    # run building: salted two-level top-k -- a direct per-term window
+    # would sort each term's corpus-sized match set in one task
+    run = grouped_topk(
+        per,
+        ["query_term"],
+        [F.desc(F.round("score", 6)), F.asc("doc_id")],
+        k=_EVAL_K,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
     qrels = per.select(
         "query_term", "doc_id", F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel")
     )

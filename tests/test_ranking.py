@@ -122,3 +122,40 @@ def test_rrf_fuse_requires_lists(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_grouped_topk_matches_direct_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.functions.ranking import grouped_topk
+
+    rows = [(f"g{i % 5}", i, float((i * 37) % 101)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+
+    direct = (
+        df.withColumn("rank", F.row_number().over(
+            Window.partitionBy("grp").orderBy(*order)).cast("long"))
+        .filter(F.col("rank") <= 7)
+    )
+    salted = grouped_topk(df, ["grp"], order, k=7, salt_on=["id"], fan=8)
+    key = lambda r: (r.grp, r.rank)  # noqa: E731
+    assert sorted(direct.collect(), key=key) == sorted(
+        salted.select(*direct.columns).collect(), key=key
+    )
+
+
+def test_grouped_topk_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.functions.ranking import grouped_topk
+
+    rows = [(f"g{i % 3}", i, float(i % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+    a = sorted(grouped_topk(df.repartition(1), ["grp"], order, 5,
+                            salt_on=["id"]).collect(), key=str)
+    b = sorted(grouped_topk(df.repartition(11), ["grp"], order, 5,
+                            salt_on=["id"]).collect(), key=str)
+    assert a == b
