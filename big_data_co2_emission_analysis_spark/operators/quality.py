@@ -69,3 +69,81 @@ def rule_violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         .agg(F.count("*").alias("n_violations"))
         .orderBy("rule")
     )
+
+
+def distribution_psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of each group's ``value_col``
+    distribution against the whole-corpus distribution -- the standard
+    drift monitor a training pipeline runs per source / per snapshot
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate).
+
+    Values are histogrammed into ``bins`` FIXED-WIDTH buckets over
+    [lo, hi] (fixed edges, not quantiles, so the binning is exact and
+    cross-engine reproducible); each side is Laplace-smoothed with
+    ``smoothing`` pseudo-counts per bin so empty bins contribute a
+    finite term.  PSI_g = sum_b (p_gb - p_b) * ln(p_gb / p_b).
+
+    Returns (group, n_docs, psi), psi rounded to 6 dp.
+
+    Scale shape: one map-side-combined groupBy(group, bin) over the
+    data, then all arithmetic happens on |groups| x bins rows; the
+    dense bin spine is a broadcast cross join, and the final per-group
+    sum runs in 9-dp int64 fixed-point (order-independent).  Nulls and
+    out-of-range values are excluded (they belong in a quality gate,
+    not a drift histogram).
+    """
+    from ..queries._exact import dsum
+
+    v = F.col(value_col)
+    width = (hi - lo) / bins
+    bin_ = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(bins - 1)
+    )
+    base = df.filter(v.isNotNull() & (v >= lo) & (v <= hi)).select(
+        F.col(group_col).alias("__g"), bin_.alias("__b")
+    )
+
+    spark = df.sparkSession
+    spine_b = spark.range(bins).select(F.col("id").cast("int").alias("__b"))
+    groups = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n_g"))
+    dense = groups.crossJoin(F.broadcast(spine_b))
+
+    counts = base.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__n_gb"))
+    gcounts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n_b"))
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+
+    s, sb = float(smoothing), float(smoothing) * bins
+    joined = (
+        dense.join(counts, ["__g", "__b"], "left")
+        .join(F.broadcast(gcounts), "__b", "left")
+        .join(F.broadcast(total))
+        .select(
+            "__g",
+            "__n_g",
+            (
+                (F.coalesce(F.col("__n_gb"), F.lit(0)) + F.lit(s))
+                / (F.col("__n_g") + F.lit(sb))
+            ).alias("__p_g"),
+            (
+                (F.coalesce(F.col("__n_b"), F.lit(0)) + F.lit(s))
+                / (F.col("__n") + F.lit(sb))
+            ).alias("__p"),
+        )
+    )
+    term = (F.col("__p_g") - F.col("__p")) * F.log(F.col("__p_g") / F.col("__p"))
+    return (
+        joined.groupBy("__g")
+        .agg(
+            F.max("__n_g").alias("n_docs"),  # constant within a group
+            F.round(dsum(term, 9), 6).alias("psi"),
+        )
+        .select(F.col("__g").alias(group_col), "n_docs", "psi")
+    )

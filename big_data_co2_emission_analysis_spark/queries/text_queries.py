@@ -652,6 +652,65 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Distribution drift: PSI of each source's quality-score histogram vs
+# the whole corpus (operators/quality.distribution_psi) -- the standard
+# per-source drift monitor in a continuously-ingesting training
+# pipeline.  Fixed-width bins on the 6-dp-rounded score keep the
+# binning exact cross-engine; the oracle reuses the independently
+# replicated quality values (fixtures/expected_text).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_psi_by_source",
+    oracle=f"""
+    WITH
+    q AS (
+      SELECT d.source AS src, e.quality AS qv
+      FROM documents d
+      JOIN read_parquet('{_TEXT_EXPECTED}/quality.parquet') e
+        ON md5(d.text) = e.text_md5
+      WHERE e.quality IS NOT NULL AND e.quality >= 0.0 AND e.quality <= 1.0
+    ),
+    b AS (SELECT src, LEAST(CAST(FLOOR(qv / 0.1) AS INT), 9) AS bin FROM q),
+    grp AS (SELECT src, COUNT(*) AS n_g FROM b GROUP BY 1),
+    cnt AS (SELECT src, bin, COUNT(*) AS n_gb FROM b GROUP BY 1, 2),
+    gcnt AS (SELECT bin, COUNT(*) AS n_b FROM b GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM b),
+    spine AS (
+      SELECT g.src, g.n_g, CAST(r.bin AS INT) AS bin
+      FROM grp g, (SELECT UNNEST(range(0, 10)) AS bin) r
+    ),
+    p AS (
+      SELECT s.src, s.n_g,
+             (COALESCE(c.n_gb, 0) + 0.5) / (s.n_g + 5.0) AS p_g,
+             (COALESCE(gc.n_b, 0) + 0.5) / (t.n + 5.0) AS p
+      FROM spine s
+      LEFT JOIN cnt c ON s.src = c.src AND s.bin = c.bin
+      LEFT JOIN gcnt gc ON s.bin = gc.bin
+      CROSS JOIN tot t
+    )
+    SELECT src AS source, CAST(MAX(n_g) AS BIGINT) AS n_docs,
+           ROUND({sql_dsum("(p_g - p) * LN(p_g / p)", 9)}, 6) AS psi
+    FROM p GROUP BY src ORDER BY source
+    """,
+    tags=("text", "quality", "drift"),
+)
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's quality-score
+    distribution against the whole corpus: the drift monitor a
+    continuously-ingesting pipeline alerts on (PSI > 0.25 =
+    investigate the source)."""
+    from ..functions.text import quality_score
+    from ..operators.quality import distribution_psi
+
+    scored = _docs(spark, sf_dir).select(
+        "source", quality_score("text").alias("qv")
+    )
+    return distribution_psi(scored, "qv", "source").orderBy("source")
+
+
 @register(
     "top_tokens",
     oracle="""
@@ -673,6 +732,95 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit: closed-form OLS of ln(frequency) on ln(rank) over the
+# term-frequency table -- the corpus-statistics sanity check a training
+# mixture designer runs per source/snapshot (natural text fits slope
+# ~ -1; a drifting slope or collapsing r2 flags boilerplate floods or
+# templated spam).  Scale shape: the token explode reduces map-side to
+# one (term, count) row per distinct term, so everything after the
+# first shuffle operates on the VOCABULARY, which Heaps' law keeps
+# orders of magnitude under the corpus; the rank assignment is the one
+# vocab-sized global sort.  All five OLS sums run in 9-dp int64
+# fixed-point (order-independent), so the closed-form slope/intercept/
+# r2 divisions see bit-identical inputs on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "term_zipf_fit",
+    oracle=f"""
+    WITH
+    tc AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+             LN(CAST(n AS DOUBLE)) AS y
+      FROM tc
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             {sql_dsum("x", 9)} AS sx, {sql_dsum("y", 9)} AS sy,
+             {sql_dsum("x * x", 9)} AS sxx, {sql_dsum("y * y", 9)} AS syy,
+             {sql_dsum("x * y", 9)} AS sxy
+      FROM ranked
+    )
+    SELECT n_terms,
+           ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+                 / n_terms, 6) AS intercept,
+           ROUND(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+                 / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("text", "stats"),
+)
+def term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS Zipf fit over the corpus term-frequency table:
+    (n_terms, slope, intercept, r2) of ln(freq) ~ ln(rank)."""
+    from pyspark.sql import Window as W
+
+    from ._exact import dsum
+
+    tc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))  # vocab-sized sort (Heaps)
+    ranked = tc.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 9).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 9).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 9).alias("sxy"),
+    )
+    n, sx, sy = F.col("n_terms"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
     )
 
 

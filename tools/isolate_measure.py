@@ -48,6 +48,13 @@ def main() -> None:
         while it.hasNext():
             it.next().getValue().unpersist(True)
             n += 1
+        try:
+            # match bench.py's protocol: force a JVM GC so the
+            # ContextCleaner releases dead shuffle state promptly
+            # (see bench.py for the measured creep this prevents)
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         return n
 
     for name in args.names:
