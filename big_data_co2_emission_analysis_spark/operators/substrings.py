@@ -131,7 +131,11 @@ def duplicated_span_stats(
 
 
 def removal_intervals(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """Merged token-position intervals [start, end] (1-based, inclusive)
     that a keep-first substring-dedup pass removes from each document.
@@ -149,8 +153,20 @@ def removal_intervals(
     window costs one combiner cell, no single-partition key sort); the
     mark-join is 1:1 per posting (no pair expansion); interval merging
     is the classic running-max sweep, two window passes keyed by doc.
+
+    ``agg_partitions`` sizes the posting-keyed exchanges (the window
+    groupBy and the mark-join) for the corpus instead of inheriting
+    ``spark.sql.shuffle.partitions`` -- the posting stream is
+    ~n_tokens rows of ~64 B (25M rows / 1.6 GB at sf10), and at the
+    32-partition session default the sort-merge join's per-task sort
+    state thrashes into spill (measured 3.2 GiB at sf10; 0 after
+    sizing).  Same knob and sizing rule as
+    ``dedup.ngram_jaccard_pairs``; None keeps the stock plan (correct
+    and spill-free through sf1).
     """
     post = window_postings(docs, id_col, text_col, k)
+    if agg_partitions is not None:
+        post = post.repartition(agg_partitions, "wh")
     dup_first = (
         post.groupBy("wh")
         .agg(
@@ -190,7 +206,11 @@ def removal_intervals(
 
 
 def substring_dedup_rewrite(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """The REWRITE step of exact substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"):
@@ -208,8 +228,9 @@ def substring_dedup_rewrite(
     indexed ``F.filter`` + ``F.exists`` membership test --
     O(n_tokens x n_intervals) per document, fine for document-sized
     texts; no Python UDF, no token-level join, no pair expansion.
+    ``agg_partitions`` passes through to :func:`removal_intervals`.
     """
-    iv = removal_intervals(docs, id_col, text_col, k)
+    iv = removal_intervals(docs, id_col, text_col, k, agg_partitions)
     per_doc = iv.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__ivs")
     )

@@ -655,3 +655,96 @@ def streaming_incremental_dedup_bcast(spark: SparkSession, sf_dir: str) -> DataF
     the manifest changes (broadcast semi-filter + anti, no manifest
     exchange), never the survivors."""
     return _run_incremental_dedup(spark, sf_dir, bloom_bits=None, confirm="broadcast")
+
+
+def _text_expected_dir() -> str:
+    import os
+
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "fixtures", "expected_text"
+        )
+    )
+
+
+@register(
+    "streaming_quality_psi",
+    # Per-micro-batch drift: PSI of each batch's quality-score
+    # histogram against the cumulative histogram of all prior batches
+    # (batch 0 seeds the reference, emits nothing).  The deterministic
+    # doc_id % 3 sharding makes each shard one ordered micro-batch, so
+    # the whole monitor replays in SQL; quality values come from the
+    # independently replicated expected fixture (same join as the
+    # quality_scores oracle), binning/smoothing/fixed-point identical
+    # to operators/quality.distribution_psi.
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc.doc_id % 3 AS b,
+             LEAST(CAST(FLOOR(e.quality / 0.1) AS INT), 9) AS bin
+      FROM documents doc
+      JOIN read_parquet('{_text_expected_dir()}/quality.parquet') e
+        ON md5(doc.text) = e.text_md5
+      WHERE e.quality IS NOT NULL AND e.quality >= 0.0 AND e.quality <= 1.0
+    ),
+    cnt AS (SELECT b, bin, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    batches AS (SELECT DISTINCT b FROM d WHERE b >= 1),
+    spine AS (
+      SELECT batches.b, CAST(r.bin AS INT) AS bin
+      FROM batches, (SELECT UNNEST(range(0, 10)) AS bin) r
+    ),
+    cur AS (
+      SELECT s.b, s.bin, COALESCE(c.n, 0) AS n_b
+      FROM spine s LEFT JOIN cnt c ON s.b = c.b AND s.bin = c.bin
+    ),
+    pri AS (
+      SELECT s.b, s.bin, COALESCE(SUM(c.n), 0) AS n_p
+      FROM spine s LEFT JOIN cnt c ON c.b < s.b AND s.bin = c.bin
+      GROUP BY s.b, s.bin
+    ),
+    tot AS (SELECT b, SUM(n_b) AS tot_b FROM cur GROUP BY 1),
+    ptot AS (SELECT b, SUM(n_p) AS tot_p FROM pri GROUP BY 1),
+    terms AS (
+      SELECT cur.b,
+             (cur.n_b + 0.5) / (tot.tot_b + 5.0) AS p_b,
+             (pri.n_p + 0.5) / (ptot.tot_p + 5.0) AS p_p
+      FROM cur
+      JOIN pri ON cur.b = pri.b AND cur.bin = pri.bin
+      JOIN tot ON cur.b = tot.b
+      JOIN ptot ON cur.b = ptot.b
+    )
+    SELECT t.b AS batch_id, CAST(tot.tot_b AS BIGINT) AS n_docs,
+           ROUND({sql_dsum("(p_b - p_p) * LN(p_b / p_p)", 9)}, 6) AS psi
+    FROM terms t JOIN tot ON t.b = tot.b
+    GROUP BY t.b, tot.tot_b ORDER BY batch_id
+    """,
+    tags=("streaming", "quality", "drift"),
+)
+def streaming_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring over the crawl-shaped document
+    stream: each micro-batch's quality-score histogram PSI-scored
+    against everything ingested before it (streaming/windows.py
+    stream_quality_psi) -- the alert a pipeline raises when a source's
+    quality distribution walks away from history."""
+    import tempfile
+
+    from ..functions.text import quality_score
+    from ..sources.readers import read_documents
+    from ..streaming.windows import stream_quality_psi
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    staged, schema = _stage_document_shards(docs, f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="psi_stream_")
+    state, out, ckpt = f"{work}/state", f"{work}/out", f"{work}/ckpt"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(quality_score("text").alias("qv"))
+    )
+    q = stream_quality_psi(stream, state, out, ckpt)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select(F.col("batch_id").cast("long").alias("batch_id"), "n_docs", "psi")
+        .orderBy("batch_id")
+    )

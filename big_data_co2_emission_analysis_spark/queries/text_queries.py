@@ -177,7 +177,9 @@ def fingerprint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact counterpart of minhash_near_dups; DuckDB recomputes the same
 # shingling with list functions.
 # --------------------------------------------------------------------------
-def _jaccard_agg_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+def _jaccard_agg_partitions(
+    spark: SparkSession, sf_dir: str, divisor_kib: int = 256
+) -> int | None:
     """Size the exact-Jaccard aggregation exchanges from the document
     input bytes (filesystem metadata only, no probe job): one partition
     per 256 KiB of compressed documents, floored at the session
@@ -187,7 +189,14 @@ def _jaccard_agg_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     operators/dedup.py ngram_jaccard_pairs) so per-task state stays
     ~20 MB even on denser text.  Returns None at or under the session
     default -- small corpora keep the stock plan (map-side combine and
-    all), and the operator only repartitions when it buys memory."""
+    all), and the operator only repartitions when it buys memory.
+
+    ``divisor_kib`` tunes the state-per-input ratio per caller: the
+    Jaccard pair expansion keeps the 256 KiB default; the substring
+    REWRITE's posting state is ~half as dense (no pair expansion, one
+    ~64 B posting per token), so it passes 512 -- probed at sf10:
+    sizing at 512 KiB (160 partitions) runs 23.5 s vs 25.1 s at
+    256 KiB (328) and 33.6 s spilled at the 32-partition default."""
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -202,7 +211,7 @@ def _jaccard_agg_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     else:  # non-local path: stay with the session default
         return None
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n = nbytes // (256 * 1024)
+    n = nbytes // (divisor_kib * 1024)
     return int(n) if n > default else None
 
 
@@ -1908,7 +1917,11 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the pass that actually cuts the corpus."""
     from ..operators.substrings import substring_dedup_rewrite as rewrite
 
-    return rewrite(_docs(spark, sf_dir), k=_SUBSTR_K).orderBy("doc_id")
+    return rewrite(
+        _docs(spark, sf_dir),
+        k=_SUBSTR_K,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -1100,3 +1100,128 @@ def streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming drift monitor: per-micro-batch PSI against the cumulative
+# history -- the continuous-ingestion twin of
+# operators/quality.distribution_psi (same fixed-width binning, same
+# Laplace smoothing, same 9-dp fixed-point sums).
+# --------------------------------------------------------------------------
+
+
+def quality_psi_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    out_path: str,
+    value_col: str = "qv",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    smoothing: float = 0.5,
+) -> None:
+    """foreachBatch body: PSI of THIS batch's ``value_col`` histogram
+    against the cumulative histogram of all PRIOR batches, appended to
+    ``out_path`` as (batch_id, n_docs, psi).  The first batch seeds the
+    reference and emits nothing (there is no prior to drift from).
+
+    State is the per-batch bin-count table at ``state_path`` (``bins``
+    rows per batch, partitioned by batch_id) -- O(bins) per batch
+    forever, never row-scale.  Replay-safe: a re-run batch OVERWRITES
+    its own state partition (dynamic partition overwrite) and its out
+    partition, and the prior read filters ``batch_id < N`` so a
+    half-written replay partition is never its own reference.
+    """
+    from ..queries._exact import dsum
+
+    spark = batch_df.sparkSession
+    width = (hi - lo) / bins
+    v = F.col(value_col)
+    counts = (
+        batch_df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+        .select(
+            F.least(
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    import os
+
+    prior = None
+    if os.path.isdir(state_path):
+        try:
+            prior = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") < batch_id)  # partition-pruned
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n_p"))
+            )
+            if prior.limit(1).count() == 0:
+                prior = None
+        except Exception:
+            prior = None  # no committed state yet
+
+    if prior is not None:
+        s, sb = float(smoothing), float(smoothing) * bins
+        spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+        dense = (
+            spine.join(F.broadcast(counts), "bin", "left")
+            .join(F.broadcast(prior), "bin", "left")
+            .select(
+                "bin",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_b"),
+                F.coalesce(F.col("n_p"), F.lit(0)).alias("n_p"),
+            )
+            .join(
+                F.broadcast(
+                    counts.agg(F.sum("n").alias("tot_b")).select(
+                        F.coalesce(F.col("tot_b"), F.lit(0)).alias("tot_b")
+                    )
+                )
+            )
+            .join(F.broadcast(prior.agg(F.sum("n_p").alias("tot_p"))))
+        )
+        p_b = (F.col("n_b") + F.lit(s)) / (F.col("tot_b") + F.lit(sb))
+        p_p = (F.col("n_p") + F.lit(s)) / (F.col("tot_p") + F.lit(sb))
+        term = (p_b - p_p) * F.log(p_b / p_p)
+        result = dense.agg(
+            F.max("tot_b").cast("long").alias("n_docs"),
+            F.round(dsum(term, 9), 6).alias("psi"),
+        )
+        write_batch_idempotent(result, batch_id, out_path)
+
+    # publish AFTER the psi read: this batch never references itself
+    write_batch_idempotent(counts, batch_id, state_path)
+
+
+def stream_quality_psi(
+    stream_df: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "qv",
+    bins: int = 10,
+    available_now: bool = True,
+):
+    """Continuous drift monitoring: each micro-batch's ``value_col``
+    distribution is PSI-scored against everything ingested before it
+    (see :func:`quality_psi_batch`).  The monitor a crawl pipeline
+    alerts on next to the dedup manifest -- a source/snapshot whose
+    quality histogram walks away from history shows up as a rising
+    per-batch PSI long before aggregate means move."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: quality_psi_batch(
+                df, bid, state_path, out_path, value_col=value_col, bins=bins
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -878,3 +878,55 @@ def test_incremental_dedup_bloom_stale_snapshot_heals(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     ) == [1, 2, 3, 5]
+
+
+def test_quality_psi_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch overwrites its own state and out partitions:
+    results after a replay are identical to a single clean run, and the
+    replayed batch never references its own half-written state."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        quality_psi_batch,
+    )
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b0 = spark.createDataFrame([(0.05,)] * 8 + [(0.95,)] * 2, "qv double")
+    b1 = spark.createDataFrame([(0.05,)] * 2 + [(0.95,)] * 8, "qv double")
+
+    quality_psi_batch(b0, 0, state, out)
+    quality_psi_batch(b1, 1, state, out)
+    first = spark.read.parquet(out).collect()
+
+    quality_psi_batch(b1, 1, state, out)  # replay of batch 1
+    second = spark.read.parquet(out).collect()
+    assert sorted(map(str, first)) == sorted(map(str, second))
+    assert len(second) == 1  # batch 0 seeds, only batch 1 emits
+    assert second[0].n_docs == 10
+    assert second[0].psi > 0.25  # 80/20 -> 20/80 flip is a large shift
+
+
+def test_quality_psi_batch_zero_emits_nothing(spark, tmp_path):
+    import os
+
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        quality_psi_batch,
+    )
+
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    b0 = spark.createDataFrame([(0.5,)], "qv double")
+    quality_psi_batch(b0, 0, state, out)
+    assert not os.path.isdir(out)  # no prior -> nothing written
+    assert os.path.isdir(state)  # but the reference was seeded
+
+
+def test_quality_psi_identical_batches_score_near_zero(spark, tmp_path):
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        quality_psi_batch,
+    )
+
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    b = spark.createDataFrame([(v,) for v in (0.1, 0.3, 0.5, 0.7, 0.9) * 40],
+                              "qv double")
+    quality_psi_batch(b, 0, state, out)
+    quality_psi_batch(b, 1, state, out)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and abs(rows[0].psi) < 0.01
