@@ -390,6 +390,13 @@ _NLJ_WHITELIST = {
     # precedent); map-side min(struct) collapses it before the Exchange
     "semdedup_pairs_bigk",
     "semdedup_bigk_cluster_stats",
+    # r7: bins-row spine + two 1-row totals broadcast into the
+    # groups x bins PSI arithmetic -- bounded build sides by design
+    "quality_psi_by_source",
+    # r7: 1-row exact-P75 perplexity threshold broadcast into the gate
+    "curated_corpus_v3",
+    # r7: same 1-row corpus (N, avgdl) scalar as bm25_top_docs
+    "bm25_eval_metrics",
 }
 
 

@@ -191,6 +191,25 @@ SHOWCASE = [
         "expansion, so boilerplate hot windows cost linear work); the "
         "interval-union sweep is a per-doc window function.",
     ),
+    (
+        "substring_dedup_rewrite",
+        "The rewrite pass: first occurrences ride the SAME "
+        "map-side-combined groupBy that finds duplicates (min(struct) "
+        "agg, no per-hash window sort); removal intervals merge with "
+        "the running-max sweep (three Window ops share ONE doc-keyed "
+        "sort); the text rebuild is an indexed filter/exists over "
+        "broadcast-joined interval arrays -- native end-to-end.  "
+        "Posting-keyed exchanges auto-size from input bytes (spill "
+        "3.2 GiB -> 0 at sf10).",
+    ),
+    (
+        "bm25_eval_metrics",
+        "Retrieval eval: the run builder is the salted two-level "
+        "grouped_topk (hash lanes -> fan*k survivors), so no per-term "
+        "corpus-sized single-partition sort; run->qrels join is keyed "
+        "1:1; DCG/MRR are one map-side-combined groupBy; only the "
+        "ideal ranking windows over the qrels lists.",
+    ),
 ]
 
 
