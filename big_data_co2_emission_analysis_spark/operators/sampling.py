@@ -206,3 +206,77 @@ def weighted_sample_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget_tokens: float,
+    temperature: float = 2.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing under a TOKEN budget -- the
+    pretraining data-recipe primitive (T5 / multilingual-LM style):
+    per-domain token shares are flattened by ``share^(1/T)`` (T > 1
+    upweights tail domains, T = 1 keeps natural proportions), the
+    normalized weights split ``budget_tokens`` into per-domain budgets,
+    and each domain greedily fills its budget in a DETERMINISTIC
+    seeded pseudo-random document order (md5(seed:id) -- the portable
+    "shuffle" any engine replays, same device as weighted_sample_k's
+    A-ES keys).  The last selected document may overshoot its domain
+    budget by at most one document (greedy prefix, documented).
+
+    Returns the selected manifest (domain, id, tokens) -- feed it to a
+    join to materialize the mixed corpus.
+
+    Scale shape: one map-side-combined aggregate for domain token
+    totals (|domains| rows, broadcast back); selection is a per-domain
+    running-sum window in the seeded order -- the one domain-keyed
+    sort, the same skew posture as any per-domain window (salting does
+    not apply: the running sum is inherently sequential per domain;
+    a single mega-domain sorts in one task and should be pre-split
+    upstream if that bites).  Per-domain budgets round to 6 dp before
+    the cumulative comparison so the pow() ULP wobble between engines
+    cannot flip a boundary document.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    from pyspark.sql import Window as W
+
+    dom = F.col(domain_col)
+    toks = F.col(token_col).cast("long")
+
+    totals = df.groupBy(domain_col).agg(F.sum(toks).alias("__dom_toks"))
+    grand = totals.agg(F.sum("__dom_toks").alias("__tot"))
+    weighted = (
+        totals.join(F.broadcast(grand))
+        .withColumn(
+            "__w_raw",
+            F.pow(F.col("__dom_toks").cast("double") / F.col("__tot"),
+                  F.lit(1.0 / temperature)),
+        )
+    )
+    wsum = weighted.agg(F.sum("__w_raw").alias("__wsum"))
+    budgets = (
+        weighted.join(F.broadcast(wsum))
+        .select(
+            domain_col,
+            F.round(
+                F.col("__w_raw") / F.col("__wsum") * F.lit(float(budget_tokens)), 6
+            ).alias("__budget"),
+        )
+    )
+
+    order_key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = W.partitionBy(domain_col).orderBy(order_key, F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = df.select(dom.alias(domain_col), F.col(id_col), toks.alias("tokens"))
+    ranked = ranked.withColumn("__cum_prev", F.sum("tokens").over(w) - F.col("tokens"))
+    return (
+        ranked.join(F.broadcast(budgets), domain_col)
+        .filter(F.col("__cum_prev") < F.col("__budget"))
+        .select(domain_col, id_col, "tokens")
+    )

@@ -1119,6 +1119,64 @@ def recursive_month_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only (seeded Bernoulli differs across engines); tests pin the
 # realized proportions.
 # --------------------------------------------------------------------------
+@register(
+    "temperature_mixture_manifest",
+    # Deterministic temperature-mixed data recipe: per-source token
+    # shares flattened by share^(1/T) (T=2), normalized weights split a
+    # budget of 25% of corpus tokens, each source greedily fills its
+    # budget in the seeded md5(seed:id) order.  Budgets round to 6 dp
+    # before the cumulative comparison (pow ULP guard); everything else
+    # is integer arithmetic, so the manifest replays row-for-row.
+    oracle=r"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(tokens) AS dt FROM d GROUP BY 1),
+    g AS (SELECT SUM(dt) AS t FROM tot),
+    wr AS (SELECT source, POW(CAST(dt AS DOUBLE) / g.t, 0.5) AS w_raw FROM tot, g),
+    ws AS (SELECT SUM(w_raw) AS s FROM wr),
+    b AS (
+      SELECT source, ROUND(w_raw / ws.s * (SELECT 0.25 * t FROM g), 6) AS budget
+      FROM wr, ws
+    ),
+    r AS (
+      SELECT d.*,
+             SUM(tokens) OVER (
+               PARTITION BY source
+               ORDER BY MD5(CONCAT('42:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS UNBOUNDED PRECEDING) - tokens AS cum_prev
+      FROM d
+    )
+    SELECT r.source, r.doc_id, r.tokens
+    FROM r JOIN b USING (source)
+    WHERE r.cum_prev < b.budget
+    ORDER BY source, doc_id
+    """,
+    tags=("sample", "mixture", "tokens"),
+)
+def temperature_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) corpus mix under a token budget (25% of
+    corpus tokens): the deterministic pretraining data-recipe manifest
+    -- tail sources upweighted by share^(1/T), each source greedily
+    filled in a seeded portable shuffle order.  Fully SQL-replayable,
+    unlike the Bernoulli ``mixture_sample`` (rows-only by contract)."""
+    from ..operators.sampling import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_toks"),
+    )
+    total = docs.agg(F.sum("n_toks")).collect()[0][0]  # 1-row control plane
+    return temperature_mixture(
+        docs, "source", "n_toks", budget_tokens=0.25 * total, temperature=2.0
+    ).select(
+        "source", "doc_id", F.col("tokens")
+    ).orderBy("source", "doc_id")
+
+
 @register("mixture_sample_counts", oracle=None, tags=("sample", "mixture"))
 def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import mixture_sample
