@@ -65,6 +65,8 @@ def concat_split_pack(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("_id"), F.col(n_tokens_col).cast("long").alias("_n")
     ).filter(F.col("_n") > 0)
@@ -73,6 +75,19 @@ def concat_split_pack(
     else:
         base = base.repartitionByRange("_id")
     base = base.withColumn("_pid", F.spark_partition_id())
+    # Materialize the range-partitioned frame ONCE (the exact_quantiles
+    # lesson, operators/quantiles.py): repartitionByRange samples its
+    # boundaries with a per-JOB seed, so without this persist the
+    # per-partition totals job below and the spans job would each re-run
+    # the exchange and could place boundary-adjacent rows in DIFFERENT
+    # partitions than the ones the broadcast offsets were computed from
+    # -- silently shifted global offsets, and only in the at-scale
+    # regime where the sampler subsamples (caught at sf10: two runs of
+    # the same packing differed by dozens of manifest rows; exact at
+    # sf<=1 where the sampler sees every row).  DISK_ONLY: a full copy
+    # of the 2-column (id, n) projection -- ~16 B/row, linear, released
+    # before returning.
+    base = base.persist(StorageLevel.DISK_ONLY)
     # partition count without touching .rdd (which would run the range
     # sampler early): explicit arg, else the session shuffle default
     if num_partitions is not None:
@@ -112,7 +127,7 @@ def concat_split_pack(
         .withColumn("_end", F.col("_start") + F.col("_n"))
     )
     b = F.lit(budget)
-    return (
+    result = (
         spans.withColumn(
             "seq_id",
             F.explode(
@@ -136,6 +151,15 @@ def concat_split_pack(
             .alias("seq_offset"),
         )
     )
+    # release the internal persist without handing the caller an
+    # un-cached lineage that would re-run (and re-sample) the range
+    # exchange: eagerly localCheckpoint the manifest -- one piece row
+    # per (document, sequence) crossing, far smaller than the token
+    # stream -- then drop the persisted base (the quantiles/verify
+    # release pattern).
+    result = result.localCheckpoint(eager=True)
+    base.unpersist()
+    return result
 
 
 def pack_stats(manifest: DataFrame) -> DataFrame:

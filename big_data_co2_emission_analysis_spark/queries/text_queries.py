@@ -2087,7 +2087,16 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import exact_quantiles
 
     docs = _docs(spark, sf_dir)
-    ppl = score_docs_bigram_lm(docs, alpha=_LM_ALPHA).select("doc_id", "perplexity")
+    # the ppl frame feeds BOTH the quantile (evaluated eagerly inside
+    # exact_quantiles) and the gate join below -- localCheckpoint it
+    # once so the bigram-LM train+score (the pipeline's dominant cost)
+    # does not run twice (measured at sf10: 89 -> ~55 s); N rows x 16 B,
+    # linear and small next to the corpus
+    ppl = (
+        score_docs_bigram_lm(docs, alpha=_LM_ALPHA)
+        .select("doc_id", "perplexity")
+        .localCheckpoint(eager=True)
+    )
     cut = exact_quantiles(
         ppl.select(F.lit(1).alias("k"), "perplexity"),
         "k",

@@ -104,3 +104,31 @@ def test_control_plane_guard_raises_on_pathological_partitions(spark):
     assert concat_split_pack(
         df, "doc_id", "n_tokens", BUDGET, num_partitions=8, max_control_rows=100
     ).count() > 0
+
+
+def test_pack_repeated_runs_identical_with_subsampled_boundaries(spark):
+    """Regression (r7, caught at sf10): the totals job and the spans job
+    each re-ran the range exchange, whose boundary sampler re-samples
+    per job -- boundary-adjacent rows could land in different partitions
+    than the broadcast offsets were computed from, silently shifting
+    global offsets.  With enough rows that the sampler subsamples, two
+    runs must still produce identical manifests (the persist-once fix,
+    same as operators/quantiles.py)."""
+    from big_data_co2_emission_analysis_spark.operators.packing import (
+        concat_split_pack,
+    )
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n")
+    )
+
+    def run():
+        out = concat_split_pack(df, "doc_id", "n", budget=512, num_partitions=32)
+        return out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.hash("seq_id", "doc_id", "doc_offset", "tokens_in_seq",
+                         "seq_offset").cast("long")).alias("h"),
+        ).collect()[0]
+
+    a, b = run(), run()
+    assert (a.rows, a.h) == (b.rows, b.h)
