@@ -168,7 +168,7 @@ def grouped_topk(
     group_cols: list[str],
     order_cols: list,
     k: int,
-    salt_on: list[str] | None = None,
+    salt_on: list[str],
     rank_col: str = "rank",
     fan: int = 32,
 ) -> DataFrame:
@@ -179,18 +179,29 @@ def grouped_topk(
     task — with few groups over a large table (6 query terms over a
     corpus) that is a handful of corpus-sized single-partition sorts.
     Here level 1 splits every group into ``fan`` deterministic salt
-    lanes (hash of ``salt_on``, default the group columns plus nothing
-    row-unique — PASS the unique tie-break column for real spread),
-    keeps k per lane, and level 2 ranks the surviving ``fan * k`` rows
-    per group — bounded regardless of group size.  Value-identical to
-    the direct window provided ``order_cols`` is a total order (give
-    it a unique tie-break column) and lane assignment is deterministic
-    per row (``salt_on`` must be row-identifying within a group).
+    lanes (hash of ``salt_on``), keeps k per lane, and level 2 ranks
+    the surviving ``fan * k`` rows per group — bounded regardless of
+    group size.  Value-identical to the direct window provided
+    ``order_cols`` is a total order (give it a unique tie-break
+    column) and lane assignment is deterministic per row.
+
+    ``salt_on`` is REQUIRED and must vary within a group (typically
+    the unique tie-break id): hashing only group-constant columns
+    would put every row of a group in one lane, silently degenerating
+    level 1 back into the single-task whole-group sort this function
+    exists to avoid — so that is rejected loudly.
     """
     from pyspark.sql import Window
 
-    salt_cols = salt_on if salt_on is not None else group_cols
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(fan))
+    if not salt_on:
+        raise ValueError("salt_on must name at least one within-group-varying column")
+    if set(salt_on) <= set(group_cols):
+        raise ValueError(
+            f"salt_on {salt_on} is a subset of group_cols {group_cols}: the lane "
+            "hash would be constant within every group (no spread); pass a "
+            "row-identifying column such as the order tie-break id"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(fan))
     w1 = Window.partitionBy(*group_cols, "__lane").orderBy(*order_cols)
     cand = (
         df.withColumn("__lane", salt)

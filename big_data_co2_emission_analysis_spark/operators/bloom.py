@@ -80,6 +80,16 @@ def build_bloom_bitmap(
             "(partitioned bitmap) instead of collecting it, or raise "
             "max_bits explicitly"
         )
+    if m % 64:
+        # the dense build aggregates and scatters at 64-bit-word
+        # granularity and the snapshot geometry check compares
+        # len(bitmap)*8 == m; a non-word-aligned m would silently
+        # truncate the last partial word (auto-sized m is always a
+        # power of two >= 1024, so only explicit m can trip this)
+        raise ValueError(
+            f"bloom bitmap m must be a multiple of 64 (word-granular "
+            f"build and snapshot geometry), got m={m}"
+        )
     pos = F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("pos")
     word_rows = (
         df.select(pos)
@@ -166,6 +176,11 @@ def build_bloom_bitmap_sparse(
         raise ValueError(
             f"bloom bitmap would need {m} bits (> max_bits={max_bits}); "
             "use the distributed aggregate build or raise max_bits"
+        )
+    if m % 64:
+        raise ValueError(
+            f"bloom bitmap m must be a multiple of 64 (word-granular "
+            f"geometry shared with the aggregate build), got m={m}"
         )
 
     def _partials(batches):

@@ -13,12 +13,12 @@ Inputs:
 
 Scale shape: the run->qrels join is keyed (query, doc) and 1:1; DCG /
 MRR / hit counts are one map-side-combined groupBy over run rows; the
-ideal-DCG ranking is a per-query ``row_number`` window over qrels
-(the one per-query sort -- bounded by the qrels list, which TREC-style
-eval keeps orders of magnitude under the corpus; a hot query with a
-corpus-sized qrels list would sort one partition, noted here rather
-than hidden).  No driver loop, no collect: metrics for a million
-queries are one DataFrame.
+ideal-DCG ranking needs only the k best-rel qrels per query, so it
+runs through the salted two-level ``grouped_topk`` (hash lanes ->
+fan*k survivors) -- a corpus-sized qrels list for a hot query (e.g.
+tf-derived relevance where a common term matches most documents)
+never funnels through one single-task sort.  No driver loop, no
+collect: metrics for a million queries are one DataFrame.
 
 Gain convention: DCG gain = 2^rel - 1, discount = log2(rank + 1)
 (the standard "burges" nDCG).  rel is small-integer graded, so the
@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ..queries._exact import dsum
 
@@ -74,10 +73,17 @@ def retrieval_metrics(
         ).alias("__rr"),
     )
 
-    wq = W.partitionBy(query_col).orderBy(F.desc(rel_col), F.asc(id_col))
+    from ..functions.ranking import grouped_topk
+
     ideal = (
-        qrels.withColumn("__irank", F.row_number().over(wq))
-        .filter(F.col("__irank") <= k)
+        grouped_topk(
+            qrels,
+            [query_col],
+            [F.desc(rel_col), F.asc(id_col)],
+            k,
+            salt_on=[id_col],
+            rank_col="__irank",
+        )
         .groupBy(query_col)
         .agg(dsum(gain(rel_col) / disc("__irank"), DCG_SCALE).alias("__idcg"))
     )

@@ -155,8 +155,16 @@ def concat_split_pack(
     # un-cached lineage that would re-run (and re-sample) the range
     # exchange: eagerly localCheckpoint the manifest -- one piece row
     # per (document, sequence) crossing, far smaller than the token
-    # stream -- then drop the persisted base (the quantiles/verify
-    # release pattern).
+    # stream -- then drop the persisted base.  localCheckpoint is
+    # deliberate over persist here despite its weaker release surface
+    # (Dataset.unpersist cannot free an RDD-level checkpoint block):
+    # a persisted result whose blocks get EVICTED would lazily
+    # recompute through a re-sampled exchange and silently shift
+    # offsets, while a checkpoint either survives or fails loudly.
+    # The block is freed by the ContextCleaner once the returned
+    # DataFrame is garbage-collected (long-running drivers: the
+    # bench.py forced-GC note applies); callers looping over many
+    # pack invocations should drop references between iterations.
     result = result.localCheckpoint(eager=True)
     base.unpersist()
     return result

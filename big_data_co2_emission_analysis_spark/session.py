@@ -16,9 +16,14 @@ the settings a large cluster wants from day one:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
+
+#: serializes arrow_transfer's session-global conf set/restore pairs
+#: (reentrant: an operator inside an arrow_transfer may call another)
+_ARROW_CONF_LOCK = threading.RLock()
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -71,20 +76,32 @@ def arrow_transfer(spark: SparkSession):
     cause of a 267 s/batch outlier in the r7 bloom sweep before this
     guard (SCALING_CURVE.md "bloom manifest dedup").  Wrap every
     ``toPandas``/``createDataFrame(pandas)`` whose volume scales with
-    data, not just fixture size."""
+    data, not just fixture size.
+
+    Thread-safety: the Arrow flag is SESSION-GLOBAL runtime conf, so
+    the set/restore pair is serialized under a module lock -- two
+    concurrent ``arrow_transfer`` blocks can no longer interleave and
+    leave the other's transient value behind.  A foreign thread
+    touching the same key OUTSIDE this contextmanager is still racy
+    (unfixable without a per-thread conf, which Spark does not offer);
+    the engine's own callers all route through here, and the
+    single-driver-thread bench/driver protocol is the documented
+    operating mode (same assumption as connected_components'
+    persistent-RDD sweep, ADVICE r6)."""
     key = "spark.sql.execution.arrow.pyspark.enabled"
-    try:
-        old = spark.conf.get(key, None)
-    except Exception:
-        old = None
-    spark.conf.set(key, "true")
-    try:
-        yield
-    finally:
+    with _ARROW_CONF_LOCK:
         try:
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
+            old = spark.conf.get(key, None)
         except Exception:
-            pass
+            old = None
+        spark.conf.set(key, "true")
+        try:
+            yield
+        finally:
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:
+                pass

@@ -465,10 +465,22 @@ def incremental_dedup_batch(
         # one-partition parquet scan -- the snapshot job then costs a
         # tiny scan + the sparse build instead of re-walking the
         # broadcast-join plan through the cache).
+        import os as _os
+
+        # an all-empty-batches manifest dir holds only _SUCCESS (a
+        # 0-row dynamic-overwrite write creates no partition dirs) and
+        # spark.read.parquet would fail schema inference -- fall back
+        # to kept's (empty) fingerprints; lazy recompute is correct,
+        # see the persist comment above
+        has_parts = _os.path.isdir(manifest_path) and any(
+            e.startswith("batch_id=") for e in _os.listdir(manifest_path)
+        )
         just_written = (
             spark.read.parquet(manifest_path)
             .filter(F.col("batch_id") == F.lit(batch_id))
             .select("fingerprint")
+            if has_parts
+            else kept.select("fingerprint")
         )
         _publish_bloom_snapshot(
             just_written, batch_id, manifest_path, bloom_bits,

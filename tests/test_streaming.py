@@ -714,6 +714,9 @@ def test_broadcast_confirm_plan_never_exchanges_manifest(spark, tmp_path):
 
     final_plan = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", final_plan)) <= 2, plan
+
+
+def test_incremental_dedup_bloom_split_and_replay(spark, tmp_path):
     """The Bloom-accelerated batch body: misses skip the manifest join
     (definitely new), hits take the exact confirm -- outcomes identical
     to the exact path, and the cumulative bitmap snapshot is
@@ -930,3 +933,28 @@ def test_quality_psi_identical_batches_score_near_zero(spark, tmp_path):
     quality_psi_batch(b, 1, state, out)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and abs(rows[0].psi) < 0.01
+
+
+def test_incremental_dedup_bloom_survives_empty_first_batch(spark, tmp_path):
+    """Regression (r7 review): a 0-row first batch writes a manifest
+    dir holding only _SUCCESS (dynamic overwrite creates no partition
+    dirs), and the bloom snapshot publish used to re-read the manifest
+    unconditionally -- schema inference raised and killed the stream.
+    The publish must fall back to the batch's own (empty) fingerprints
+    and later batches must still dedup correctly."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    manifest, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    incremental_dedup_batch(empty, 0, manifest, out, bloom_bits=1 << 14)
+
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "alpha")], schema)
+    incremental_dedup_batch(b1, 1, manifest, out, bloom_bits=1 << 14)
+    b2 = spark.createDataFrame([(3, "alpha"), (4, "beta")], schema)
+    incremental_dedup_batch(b2, 2, manifest, out, bloom_bits=1 << 14)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 4}  # within-batch dup 2 and cross-batch dup 3 rejected
