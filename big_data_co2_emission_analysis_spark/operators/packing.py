@@ -50,6 +50,7 @@ def concat_split_pack(
     budget: int,
     num_partitions: int | None = None,
     max_control_rows: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Packing manifest: ``(seq_id, <id_col>, doc_offset, tokens_in_seq,
     seq_offset)``, one row per (document piece, training sequence).
@@ -62,6 +63,14 @@ def concat_split_pack(
     per partition, so it only trips if a caller requests a pathological
     partition count -- but then it raises with the cause instead of
     collecting millions of rows (the ``pq_search`` guard pattern).
+
+    ``materialize=True`` (the default, and the only correct mode for
+    real data -- the exact_quantiles contract): the manifest is
+    eagerly localCheckpointed so no later action can re-run the range
+    exchange with re-sampled boundaries.  Pass ``False`` ONLY to
+    inspect the un-truncated plan (tests/test_plans.py); in that mode
+    a collected result can silently shift offsets at subsampling
+    scale.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -165,8 +174,9 @@ def concat_split_pack(
     # DataFrame is garbage-collected (long-running drivers: the
     # bench.py forced-GC note applies); callers looping over many
     # pack invocations should drop references between iterations.
-    result = result.localCheckpoint(eager=True)
-    base.unpersist()
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        base.unpersist()
     return result
 
 

@@ -36,31 +36,41 @@ def test_publish_is_never_observed_incomplete(tmp_path):
     stop = threading.Event()
     final = os.path.join(root, "index_final")
 
+    def _gen_id():
+        # identity of the generation currently mounted at `final`:
+        # publishes are renames of fresh tmp dirs, so each generation
+        # has a distinct inode -- a stale read brackets to a DIFFERENT
+        # id and is benign (the old isdir re-verify was itself racy:
+        # under CPU load a full retire+publish cycle fit between the
+        # two non-atomic checks and false-positived)
+        try:
+            st = os.stat(final)
+            return (st.st_dev, st.st_ino)
+        except FileNotFoundError:
+            return None
+
     def reader() -> None:
         while not stop.is_set():
-            if os.path.isdir(final):
-                if not os.path.exists(os.path.join(final, "_SUCCESS")):
-                    # re-verify: an atomic retirement between the isdir
-                    # and the marker check is fine; a dir that is STILL
-                    # there without its marker is the hazard
-                    if os.path.isdir(final) and not os.path.exists(
-                        os.path.join(final, "_SUCCESS")
-                    ):
-                        violations.append("exists without _SUCCESS")
+            before = _gen_id()
+            if before is None:
+                continue
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                # violation ONLY if the SAME generation is still
+                # mounted: then the marker was genuinely missing from
+                # a visible dir (renames carry the marker atomically)
+                if _gen_id() == before:
+                    violations.append("exists without _SUCCESS")
+                    return
+                continue
+            try:
+                with open(os.path.join(final, "part-0")) as fh:
+                    if fh.read() != "data":
+                        violations.append("partial payload visible")
                         return
-                    continue
-                try:
-                    with open(os.path.join(final, "part-0")) as fh:
-                        if fh.read() != "data":
-                            violations.append("partial payload visible")
-                            return
-                except FileNotFoundError:
-                    # the whole generation may have been retired between
-                    # our checks (atomic rename-away); only a STILL
-                    # PRESENT dir missing its payload is a violation
-                    if os.path.isdir(final):
-                        violations.append("_SUCCESS before payload")
-                        return
+            except FileNotFoundError:
+                if _gen_id() == before:
+                    violations.append("_SUCCESS before payload")
+                    return
 
     t = threading.Thread(target=reader)
     t.start()

@@ -220,7 +220,12 @@ def test_packing_plan_has_no_global_window(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id", "n_chars as n_tokens"
     )
-    plan = explain_formatted(concat_split_pack(docs, "doc_id", "n_tokens", 512))
+    # materialize=False: the default eagerly checkpoints (truncating
+    # the plan to a scan of the materialized RDD); the lazy mode
+    # exposes the full pipeline for inspection
+    plan = explain_formatted(
+        concat_split_pack(docs, "doc_id", "n_tokens", 512, materialize=False)
+    )
     assert "rangepartitioning" in plan.lower()
     import re
 
@@ -397,6 +402,9 @@ _NLJ_WHITELIST = {
     "curated_corpus_v3",
     # r7: same 1-row corpus (N, avgdl) scalar as bm25_top_docs
     "bm25_eval_metrics",
+    # r7: 1-row grand-total and weight-sum scalars broadcast into the
+    # |domains|-row budget table
+    "temperature_mixture_manifest",
 }
 
 
