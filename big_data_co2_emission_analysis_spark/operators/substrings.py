@@ -23,7 +23,14 @@ Shape:
    function, one more shuffle on doc id.
 
 Everything is native expressions; md5 keeps the window hash
-cross-engine (xxhash64 exists only Spark-side).
+cross-engine (xxhash64 exists only Spark-side).  The posting key is
+the 16-byte ``unhex(md5(...))`` BINARY, not the 32-char hex string --
+the posting stream is the engine's single largest shuffle (~25M rows
+at sf10) and the key is most of each row's width, so halving it cuts
+shuffle bytes on the two heaviest suite queries; DuckDB's
+``unhex(md5(...))`` replays the exact same bytes, and lowercase-hex
+lexicographic order equals unsigned byte order, so sort semantics are
+unchanged wherever the hex form is re-derived for output.
 """
 
 from __future__ import annotations
@@ -51,15 +58,15 @@ def token_windows(text_col: Column | str, k: int) -> Column:
 def window_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
-    """(id, pos, wh): 1-based window start position + md5 window hash
-    for every k-token window of every document."""
+    """(id, pos, wh): 1-based window start position + 16-byte binary
+    md5 window hash for every k-token window of every document."""
     return docs.select(
         F.col(id_col),
         F.posexplode(token_windows(text_col, k)).alias("__p", "__w"),
     ).select(
         id_col,
         (F.col("__p") + 1).alias("pos"),
-        F.md5(F.col("__w")).alias("wh"),
+        F.unhex(F.md5(F.col("__w"))).alias("wh"),
     )
 
 

@@ -1842,12 +1842,15 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_dup_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 20 most-repeated token windows (by hash) -- the boilerplate
-    monitor in front of substring dedup."""
+    monitor in front of substring dedup.  The posting key is 16-byte
+    binary internally (shuffle-width win); the hex form is re-derived
+    only here, where the output contract needs it."""
     from ..operators.substrings import duplicated_windows, window_postings
 
     post = window_postings(_docs(spark, sf_dir), k=_SUBSTR_K)
     return (
         duplicated_windows(post)
+        .select(F.lower(F.hex("wh")).alias("wh"), "n_occurrences")
         .orderBy(F.desc("n_occurrences"), "wh")
         .limit(20)
     )
