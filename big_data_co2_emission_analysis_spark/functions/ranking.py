@@ -193,6 +193,11 @@ def grouped_topk(
     """
     from pyspark.sql import Window
 
+    if fan < 1:
+        # pmod(x, 0) is null: every row would land in one null lane and
+        # level 1 silently degenerates into the single-task sort this
+        # function exists to avoid (results correct, scale bound gone)
+        raise ValueError(f"fan must be >= 1, got {fan}")
     if not salt_on:
         raise ValueError("salt_on must name at least one within-group-varying column")
     if set(salt_on) <= set(group_cols):

@@ -8,8 +8,9 @@ Inputs:
 
 - ``run``:   (query, doc, rank) -- rank 1-based, one row per retrieved
   doc, already cut to the candidate depth.
-- ``qrels``: (query, doc, rel)  -- graded relevance > 0; docs absent
-  from qrels are irrelevant.
+- ``qrels``: (query, doc, rel)  -- graded relevance; docs absent from
+  qrels are irrelevant, and rel <= 0 rows (TREC judged-irrelevant) are
+  filtered out up front so they can't inflate the recall denominator.
 
 Scale shape: the run->qrels join is keyed (query, doc) and 1:1; DCG /
 MRR / hit counts are one map-side-combined groupBy over run rows; the
@@ -59,6 +60,12 @@ def retrieval_metrics(
     """
     gain = lambda c: F.pow(F.lit(2.0), F.col(c)) - F.lit(1.0)  # noqa: E731
     disc = lambda c: F.log2(F.col(c).cast("double") + F.lit(1.0))  # noqa: E731
+
+    # standard TREC qrels carry rel=0 (judged-irrelevant) rows; the
+    # metrics' contract is rel > 0 == relevant, so enforce it here --
+    # otherwise rel<=0 rows silently inflate n_rel (the recall
+    # denominator) while n_hit_k keeps counting only rel>0
+    qrels = qrels.filter(F.col(rel_col) > 0)
 
     hits = (
         run.filter(F.col(rank_col) <= k)

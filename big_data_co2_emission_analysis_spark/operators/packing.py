@@ -70,7 +70,11 @@ def concat_split_pack(
     exchange with re-sampled boundaries.  Pass ``False`` ONLY to
     inspect the un-truncated plan (tests/test_plans.py); in that mode
     a collected result can silently shift offsets at subsampling
-    scale.
+    scale, AND the internal DISK_ONLY persist of the 2-column base
+    projection deliberately stays alive for the session (the returned
+    plan references it; releasing it would hand back an un-cached
+    lineage that re-samples the exchange) -- plan-inspection callers
+    that care should ``spark.catalog.clearCache()`` afterwards.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -175,8 +179,13 @@ def concat_split_pack(
     # bench.py forced-GC note applies); callers looping over many
     # pack invocations should drop references between iterations.
     if materialize:
-        result = result.localCheckpoint(eager=True)
-        base.unpersist()
+        # finally: a failed checkpoint job must not leak the DISK_ONLY
+        # base copy for the rest of the session (the exception already
+        # voids the result, so there is no lineage left to protect)
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            base.unpersist()
     return result
 
 

@@ -1163,20 +1163,28 @@ def quality_psi_batch(
     )
 
     import os
+    import re
 
+    # pre-check for committed PRIOR batch partitions instead of a
+    # blanket except around the read (the incremental_dedup_batch
+    # has_parts pattern): an absent/empty state dir means "first
+    # batch, seed the reference", but a corrupt or unreadable state
+    # parquet must fail LOUDLY -- silently re-seeding the reference
+    # would suppress every subsequent drift alert.
     prior = None
-    if os.path.isdir(state_path):
-        try:
-            prior = (
-                spark.read.parquet(state_path)
-                .filter(F.col("batch_id") < batch_id)  # partition-pruned
-                .groupBy("bin")
-                .agg(F.sum("n").alias("n_p"))
-            )
-            if prior.limit(1).count() == 0:
-                prior = None
-        except Exception:
-            prior = None  # no committed state yet
+    has_prior = os.path.isdir(state_path) and any(
+        (mt := re.fullmatch(r"batch_id=(\d+)", e)) and int(mt.group(1)) < batch_id
+        for e in os.listdir(state_path)
+    )
+    if has_prior:
+        prior = (
+            spark.read.parquet(state_path)
+            .filter(F.col("batch_id") < batch_id)  # partition-pruned
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n_p"))
+        )
+        if prior.limit(1).count() == 0:
+            prior = None
 
     if prior is not None:
         s, sb = float(smoothing), float(smoothing) * bins

@@ -74,6 +74,32 @@ def test_perfect_ranking_ndcg_is_one(spark):
     assert out.precision_at_k == pytest.approx(1.0)
 
 
+def test_rel_zero_qrels_rows_are_ignored(spark):
+    # TREC qrels commonly carry rel=0 (judged-irrelevant) rows: they
+    # must not inflate n_rel / the recall denominator, nor change the
+    # ideal ranking -- metrics equal those computed without them
+    run = _run(spark, [("q", 9, 1), ("q", 1, 2), ("q", 3, 3)])
+    clean = _qrels(spark, [("q", 1, 3), ("q", 2, 1), ("q", 3, 2)])
+    judged = _qrels(
+        spark,
+        [("q", 1, 3), ("q", 2, 1), ("q", 3, 2), ("q", 9, 0), ("q", 42, 0)],
+    )
+    a = sorted(retrieval_metrics(run, clean, k=3).collect())
+    b = sorted(retrieval_metrics(run, judged, k=3).collect())
+    assert a == b
+    assert b[0].n_rel == 3  # not 5
+
+
+def test_all_rel_zero_query_not_reported(spark):
+    # a query judged entirely irrelevant has no recall denominator --
+    # it is dropped rather than reported with n_rel inflated to its
+    # judged-irrelevant count
+    run = _run(spark, [("a", 1, 1)])
+    qrels = _qrels(spark, [("a", 1, 1), ("z", 2, 0)])
+    out = {r.query_term for r in retrieval_metrics(run, qrels, k=5).collect()}
+    assert out == {"a"}
+
+
 def test_partition_invariance(spark):
     rows_run = [("q%d" % (i % 7), i, (i % 9) + 1) for i in range(200)]
     rows_qrels = [("q%d" % (i % 7), i, (i % 4)) for i in range(0, 200, 3)]

@@ -146,6 +146,27 @@ def test_grouped_topk_matches_direct_window(spark):
     )
 
 
+def test_grouped_topk_rejects_bad_salt_and_fan(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from big_data_co2_emission_analysis_spark.functions.ranking import grouped_topk
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+    with _pytest.raises(ValueError, match="salt_on"):
+        grouped_topk(df, ["grp"], order, 5, salt_on=[])
+    with _pytest.raises(ValueError, match="subset of group_cols"):
+        grouped_topk(df, ["grp"], order, 5, salt_on=["grp"])
+    # fan < 1 makes pmod null: one null lane == the single-task sort
+    # the function exists to avoid, so it must be rejected loudly
+    with _pytest.raises(ValueError, match="fan"):
+        grouped_topk(df, ["grp"], order, 5, salt_on=["id"], fan=0)
+    with _pytest.raises(ValueError, match="fan"):
+        grouped_topk(df, ["grp"], order, 5, salt_on=["id"], fan=-3)
+
+
 def test_grouped_topk_partition_invariance(spark):
     from pyspark.sql import functions as F
 

@@ -935,6 +935,50 @@ def test_quality_psi_identical_batches_score_near_zero(spark, tmp_path):
     assert len(rows) == 1 and abs(rows[0].psi) < 0.01
 
 
+def test_quality_psi_empty_first_batch_state_dir_seeds_cleanly(spark, tmp_path):
+    """A 0-row first batch leaves a state dir holding only _SUCCESS (a
+    0-row dynamic-overwrite write creates no partition dirs): the next
+    batch must treat that as 'no prior' and seed, not crash on schema
+    inference."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        quality_psi_batch,
+    )
+    import os
+
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    empty = spark.createDataFrame([], "qv double")
+    quality_psi_batch(empty, 0, state, out)  # writes only _SUCCESS
+    b1 = spark.createDataFrame([(0.5,)] * 4, "qv double")
+    quality_psi_batch(b1, 1, state, out)  # seeds; no psi emitted
+    assert not os.path.isdir(out)
+    b2 = spark.createDataFrame([(0.5,)] * 4, "qv double")
+    quality_psi_batch(b2, 2, state, out)
+    assert len(spark.read.parquet(out).collect()) == 1
+
+
+def test_quality_psi_corrupt_state_fails_loudly(spark, tmp_path):
+    """Regression (r7 advice): a corrupt/unreadable state parquet must
+    RAISE, not silently re-seed the PSI reference and suppress every
+    subsequent drift alert (the old blanket `except Exception`)."""
+    import os
+
+    import pytest as _pytest
+
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        quality_psi_batch,
+    )
+
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    part = os.path.join(state, "batch_id=0")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    b1 = spark.createDataFrame([(0.5,)] * 4, "qv double")
+    with _pytest.raises(Exception):
+        quality_psi_batch(b1, 1, state, out)
+    assert not os.path.isdir(out)  # nothing emitted from garbage state
+
+
 def test_incremental_dedup_bloom_survives_empty_first_batch(spark, tmp_path):
     """Regression (r7 review): a 0-row first batch writes a manifest
     dir holding only _SUCCESS (dynamic overwrite creates no partition
