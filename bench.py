@@ -143,6 +143,43 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # Contention guard (r7 verdict: driver benches on a loaded host --
+    # loadavg 6.68 at end -- whipsawed two watchlisted queries 2x on
+    # byte-identical plans).  Sample loadavg BEFORE any Spark work; if
+    # the host is already busy, wait bounded for it to drain, then run
+    # anyway (the driver contract needs a bench line every round) but
+    # stamp the run as contended so cross-round comparisons can discount
+    # it instead of opening plan investigations.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "120"))
+    try:
+        load_start = os.getloadavg()[0]
+    except OSError:
+        load_start = None
+    waited = 0.0
+    while (
+        load_start is not None
+        and load_start > load_threshold
+        and waited < max_wait
+    ):
+        print(
+            f"# host busy (loadavg {load_start:.2f} > {load_threshold}); "
+            f"waiting for idle ({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        load_start = os.getloadavg()[0]
+    contended = load_start is not None and load_start > load_threshold
+    if contended:
+        print(
+            f"# WARNING: running contended (loadavg {load_start:.2f} after "
+            f"{waited:.0f}s wait) -- timings are not comparable to "
+            "idle-protocol rounds; byte metrics still are",
+            file=sys.stderr,
+        )
+
     spark = get_session("bench")
     # warm-up: JVM, codegen, and parquet file-index/footer reads off the
     # clock (limit(1) touches no data pages and caches nothing)
@@ -270,6 +307,9 @@ def main() -> None:
         "python": platform.python_version(),
         "cpus_visible": os.cpu_count(),
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "loadavg_1m_at_start": None if load_start is None else round(load_start, 2),
+        "waited_for_idle_s": waited,
+        "contended_at_start": contended,
         "loadavg_1m_at_end": load1,
         "utc": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }

@@ -59,23 +59,54 @@ def window_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
     """(id, pos, wh): 1-based window start position + 16-byte binary
-    md5 window hash for every k-token window of every document."""
-    return docs.select(
+    md5 window hash for every k-token window of every document.
+
+    The trailing not-null filters are semantic no-ops on real corpora
+    (md5 of a posexploded window is never null; a null document id is
+    meaningless to dedup and excluded by contract) with a real plan
+    effect: the downstream consumers infer isnotnull constraints into
+    THEIR branches of the posting stream (the mark-join pushes
+    isnotnull(wh); the keep-first chain pushes isnotnull(id)), and
+    without identical filters on every branch the subtrees canonicalize
+    differently -- ReuseExchange misses, and the corpus-sized posting
+    shuffle (the engine's largest) is paid TWICE.  With them, all
+    consumers share one exchange (asserted in tests/test_plans.py)."""
+    return docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(token_windows(text_col, k)).alias("__p", "__w"),
     ).select(
         id_col,
         (F.col("__p") + 1).alias("pos"),
         F.unhex(F.md5(F.col("__w"))).alias("wh"),
-    )
+    ).filter(F.col("wh").isNotNull())
 
 
 def duplicated_windows(postings: DataFrame) -> DataFrame:
     """(wh, n_occurrences) for window hashes seen >= 2 times corpus-wide
-    (same-document repetition counts, per the substring-dedup paper)."""
+    (same-document repetition counts, per the substring-dedup paper).
+
+    The count argument is ``count(CASE WHEN pos >= 1 THEN
+    struct(<every posting column>) END)`` -- exactly ``count(*)``,
+    because ``pos`` is 1-based by construction (:func:`window_postings`
+    emits ``__p + 1``) so the CASE never yields null.  The roundabout
+    form is deliberate: a bare ``count(1)`` lets column pruning narrow
+    this branch's scan and exchange to just ``wh``, making the
+    posting-exchange subtree canonically different from the mark-join's
+    sibling subtree -- AQE stage reuse then misses and the corpus-sized
+    posting shuffle (the engine's largest) plus the window-extraction
+    scan are paid twice.  A plain non-nullable ``count(struct(...))``
+    does not survive either (Catalyst rewrites it back to ``count(1)``
+    and prunes); ``pos >= 1`` is true but unprovable, so the columns
+    stay referenced (measured at sf10: the reuse is worth ~25% of
+    substring_dedup_rewrite's wall-clock)."""
+    others = [c for c in postings.columns if c != "wh"]
+    if "pos" in postings.columns and others:
+        cnt = F.count(F.when(F.col("pos") >= 1, F.struct(*others)))
+    else:
+        cnt = F.count(F.lit(1))
     return (
         postings.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .agg(cnt.alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= 2)
     )
 
@@ -85,6 +116,7 @@ def duplicated_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document substring-duplication report:
 
@@ -95,10 +127,18 @@ def duplicated_span_stats(
     substring-dedup pass would cut).  Documents with fewer than k
     tokens report zero windows.  ``dup_token_frac`` is a ratio of two
     integers -- one IEEE division, exactly reproducible.
+
+    ``agg_partitions`` sizes the posting-keyed exchanges (the window
+    groupBy and the mark-join) exactly as in :func:`removal_intervals`
+    -- at the 32-partition session default the posting sort state
+    spills at sf10 (measured 2.7 GB pre-sizing, 0 after); None keeps
+    the stock plan (spill-free through sf1).
     """
     from pyspark.sql import Window as W
 
     post = window_postings(docs, id_col, text_col, k)
+    if agg_partitions is not None:
+        post = post.repartition(agg_partitions, "wh")
     dup = duplicated_windows(post)
     hits = post.join(dup, "wh").select(id_col, "pos")
 

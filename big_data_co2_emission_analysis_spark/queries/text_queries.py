@@ -1825,7 +1825,11 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval union covers (the cut a substring-dedup pass would make)."""
     from ..operators.substrings import duplicated_span_stats
 
-    return duplicated_span_stats(_docs(spark, sf_dir), k=_SUBSTR_K).orderBy("doc_id")
+    return duplicated_span_stats(
+        _docs(spark, sf_dir),
+        k=_SUBSTR_K,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
+    ).orderBy("doc_id")
 
 
 @register(

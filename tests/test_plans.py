@@ -367,6 +367,31 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
 
 
+def test_substring_posting_exchange_is_reused(spark, sf_dir):
+    """The substring family's posting stream (the engine's largest
+    shuffle at scale) has two consumers -- the duplicated-window
+    aggregate and the mark-join probe.  The operators are written so
+    both subtrees canonicalize identically (not-null filters in
+    window_postings, the pruning-pinned count in duplicated_windows):
+    AQE must materialize the posting exchange ONCE and reuse it, not
+    re-scan + re-extract + re-shuffle the corpus per consumer
+    (measured at sf10: reuse is worth ~25-30% of either query)."""
+    from big_data_co2_emission_analysis_spark.operators.substrings import (
+        duplicated_span_stats,
+        substring_dedup_rewrite,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    for frame in (
+        duplicated_span_stats(docs, k=5, agg_partitions=8),
+        substring_dedup_rewrite(docs, k=5, agg_partitions=8),
+    ):
+        frame.collect()  # same Dataset: its own AQE plan must be final
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "Reused" in plan, plan[:4000]
+
+
 #: oracle-checked queries allowed to plan a BroadcastNestedLoopJoin --
 #: every entry is a BROADCAST-SCALAR join (build side is one row or a
 #: tiny fixed set: the NLJ degenerates to a per-row filter, the
