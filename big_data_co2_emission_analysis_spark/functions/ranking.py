@@ -225,6 +225,7 @@ def rrf_fuse(
     rankings: dict[str, DataFrame],
     id_col: str = "doc_id",
     k: int = 60,
+    group_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Reciprocal Rank Fusion over named (id, rank) candidate lists:
 
@@ -235,23 +236,29 @@ def rrf_fuse(
     with per-list ranks kept for interpretability; ``rrf_score`` is
     rounded to 6 dp.
 
+    ``group_cols`` fuses MANY queries at once: each input then carries
+    per-group ranks (e.g. from :func:`grouped_topk`) and lists are
+    joined on ``group_cols + [id_col]`` -- the multi-query eval-harness
+    shape, one DataFrame for a million queries.
+
     Determinism: each term ``1/(k + rank)`` is one IEEE division on an
     integer rank and the terms are added in the (fixed) dict order of
     ``rankings`` -- bit-identical on any engine, so the fusion is
     fully oracle-able.
 
     Scale shape: inputs are bounded candidate lists (see
-    :func:`ranked_topn`), so the full-outer joins move at most
-    ``n * len(rankings)`` rows.
+    :func:`ranked_topn` / :func:`grouped_topk`), so the full-outer
+    joins move at most ``n * len(rankings)`` rows per group.
     """
     if not rankings:
         raise ValueError("rankings must be non-empty")
+    keys = [*group_cols, id_col]
     fused = None
     for name, df in rankings.items():
         side = df.select(
-            F.col(id_col), F.col("rank").cast("long").alias(f"{name}_rank")
+            *keys, F.col("rank").cast("long").alias(f"{name}_rank")
         )
-        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+        fused = side if fused is None else fused.join(side, keys, "full_outer")
     terms = [
         F.coalesce(
             F.lit(1.0) / (F.lit(k) + F.col(f"{name}_rank")).cast("double"),
@@ -263,7 +270,7 @@ def rrf_fuse(
     for t in terms[1:]:
         score = score + t
     return fused.select(
-        id_col,
+        *keys,
         F.round(score, 6).alias("rrf_score"),
         *[f"{name}_rank" for name in rankings],
     )

@@ -1371,6 +1371,198 @@ def bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(run, qrels, k=_EVAL_K).orderBy("query_term")
 
 
+#: RRF constant + per-arm candidate-list depth, shared by the hybrid
+#: retriever (hybrid_rrf_top_docs) and its eval harness below
+_RRF_K = 60
+_RRF_LIST_N = 100
+
+
+# --------------------------------------------------------------------------
+# Hybrid-retriever evaluation: the SAME TREC harness scoring the
+# PRODUCTION retriever (RRF fusion of lexical + semantic arms) instead
+# of BM25 alone -- retrieval eval as a pipeline gate, not a one-off.
+# Per eval term the semantic arm is pseudo-relevance feedback: the
+# query vector is the embedding of the term's lexical #1 document
+# (query-by-example expansion -- no out-of-band query embeddings
+# needed, and every step replays in SQL).  Semantic candidates are the
+# retrievable corpus (embeddings joined to document ids, the
+# hybrid_rrf_top_docs vec_id<->doc_id convention).
+# --------------------------------------------------------------------------
+
+
+def _prf_hybrid_run(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...] = _EVAL_TERMS,
+    k: int = _EVAL_K,
+    list_n: int = _RRF_LIST_N,
+    rrf_k: int = _RRF_K,
+) -> tuple[DataFrame, DataFrame]:
+    """(run, qrels) for the PRF-hybrid retriever over ``docs``/``emb``:
+    run = per-term top-``k`` by RRF fusion of the BM25 top-``list_n``
+    and the cosine top-``list_n`` against the lexical #1 document's
+    embedding; qrels = the tf-derived graded relevance the BM25 eval
+    uses (shared, so hybrid vs lexical nDCG is apples-to-apples).
+
+    Scale shape: both arms cut through the salted ``grouped_topk``
+    (never a corpus-sized single-task sort); the PRF query vectors are
+    one row per term, broadcast into a map-side 6x cosine expansion;
+    fusion joins bounded (``list_n``-row) lists per term."""
+    from ..functions.ranking import bm25_per_term, grouped_topk, rrf_fuse
+    from .vector_queries import _dot, _sq_norm
+
+    per = bm25_per_term(docs, list(terms), k1=_BM25_K1, b=_BM25_B)
+    lex = grouped_topk(
+        per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
+        ["query_term"],
+        [F.desc("__s"), F.asc("doc_id")],
+        k=list_n,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
+
+    top1 = lex.filter(F.col("rank") == 1).select("query_term", "doc_id")
+    qv = F.broadcast(
+        top1.join(emb, top1["doc_id"] == emb["vec_id"]).select(
+            "query_term", F.col("embedding").alias("__qv")
+        )
+    )
+    corpus_vecs = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    cosine = _dot(F.col("embedding"), F.col("__qv")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("__qv")))
+    )
+    sem_scores = corpus_vecs.join(qv).select(
+        "query_term",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine, 6).alias("__cos"),
+    )
+    sem = grouped_topk(
+        sem_scores,
+        ["query_term"],
+        [F.desc("__cos"), F.asc("doc_id")],
+        k=list_n,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
+
+    fused = rrf_fuse(
+        {"lex": lex, "sem": sem}, k=rrf_k, group_cols=["query_term"]
+    )
+    run = grouped_topk(
+        fused,
+        ["query_term"],
+        [F.desc("rrf_score"), F.asc("doc_id")],
+        k=k,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
+    qrels = per.select(
+        "query_term",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel"),
+    )
+    return run, qrels
+
+
+@register(
+    "hybrid_eval_metrics",
+    oracle=f"""
+    WITH
+    {_bm25_ctes(_EVAL_TERMS)},
+    lex_top AS (
+      SELECT term AS query_term, doc_id, rnk FROM (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY term ORDER BY ROUND(s, 6) DESC, doc_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_RRF_LIST_N}
+    ),
+    qv AS (
+      SELECT l.query_term, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM lex_top l JOIN embeddings e ON e.vec_id = l.doc_id
+      WHERE l.rnk = 1
+    ),
+    sem AS (
+      SELECT qv.query_term, e.vec_id AS doc_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(
+                      LIST_ZIP(CAST(e.embedding AS DOUBLE[]), qv.v),
+                      p -> p[1] * p[2]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(qv.v, x -> x * x)))), 6) AS cosine
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id
+      CROSS JOIN qv
+    ),
+    sem_top AS (
+      SELECT query_term, doc_id, rnk FROM (
+        SELECT query_term, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_term ORDER BY cosine DESC, doc_id) AS rnk
+        FROM sem
+      ) WHERE rnk <= {_RRF_LIST_N}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_term, s.query_term) AS query_term,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rnk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + s.rnk), 0.0), 6) AS rrf_score
+      FROM lex_top l
+      FULL JOIN sem_top s ON l.query_term = s.query_term AND l.doc_id = s.doc_id
+    ),
+    run AS (
+      SELECT query_term, doc_id, rnk FROM (
+        SELECT query_term, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_term ORDER BY rrf_score DESC, doc_id) AS rnk
+        FROM fused
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    qrels AS (SELECT term AS query_term, doc_id, LEAST(tf, 3) AS rel FROM scored),
+    hits AS (
+      SELECT r.query_term, r.rnk, COALESCE(q.rel, 0) AS rel
+      FROM run r LEFT JOIN qrels q USING (query_term, doc_id)
+    ),
+    per_run AS (
+      SELECT query_term,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_k,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)", 9)} AS dcg,
+             MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END) AS rr
+      FROM hits GROUP BY query_term
+    ),
+    ideal AS (
+      SELECT query_term,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(irank + 1.0)", 9)} AS idcg
+      FROM (SELECT query_term, rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_term ORDER BY rel DESC, doc_id) AS irank
+            FROM qrels)
+      WHERE irank <= {_EVAL_K} GROUP BY query_term
+    ),
+    nrel AS (SELECT query_term, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY query_term)
+    SELECT n.query_term, n.n_rel,
+           COALESCE(p.n_hit_k, 0) AS n_hit_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / {_EVAL_K}.0, 6) AS precision_at_k,
+           ROUND(COALESCE(p.rr, 0.0), 6) AS mrr_at_k,
+           ROUND(CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg, 0.0) / i.idcg
+                      ELSE 0.0 END, 6) AS ndcg_at_k
+    FROM nrel n JOIN ideal i USING (query_term) LEFT JOIN per_run p USING (query_term)
+    ORDER BY n.query_term
+    """,
+    tags=("text", "ranking", "eval", "vector"),
+)
+def hybrid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style evaluation of the PRODUCTION hybrid retriever (RRF
+    fusion of BM25 and PRF-cosine arms) against the same tf-derived
+    qrels as ``bm25_eval_metrics`` -- the pipeline gate that shows
+    whether fusion helps before a ranker change ships."""
+    from ..operators.ir_eval import retrieval_metrics
+    from .vector_queries import _emb
+
+    run, qrels = _prf_hybrid_run(_docs(spark, sf_dir), _emb(spark, sf_dir))
+    return retrieval_metrics(run, qrels, k=_EVAL_K).orderBy("query_term")
+
+
 # --------------------------------------------------------------------------
 # Weighted sampling (operators/sampling.py weighted_sample_k): A-ES
 # exponential keys over a PORTABLE integer-arithmetic uniform, so the
@@ -1598,10 +1790,6 @@ def lm_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division on an integer rank, added in fixed order: bit-identical
 # cross-engine, so even the fused score is oracle-checked.
 # --------------------------------------------------------------------------
-_RRF_K = 60
-_RRF_LIST_N = 100
-
-
 @register(
     "hybrid_rrf_top_docs",
     oracle=f"""

@@ -100,6 +100,53 @@ def test_all_rel_zero_query_not_reported(spark):
     assert out == {"a"}
 
 
+def test_hybrid_prf_beats_bm25_on_planted_fixture(spark):
+    """Retrieval eval as a pipeline gate: on a corpus planted so that a
+    highly relevant document (tf=3 but very long, so BM25's length
+    normalization buries it below every tf=1 doc) is embedding-close to
+    the lexical #1 doc, the PRF-hybrid retriever must recover it into
+    the top-10 and score a strictly better nDCG@10 than BM25 alone."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.functions.ranking import (
+        bm25_per_term,
+        grouped_topk,
+    )
+    from big_data_co2_emission_analysis_spark.queries.text_queries import (
+        _prf_hybrid_run,
+    )
+
+    rows = [(1, "zebra zebra zebra alpha beta")]  # short, tf=3: lexical #1
+    for i in range(2, 15):  # 13 tf=1 docs fill the lexical top-10
+        rows.append((i, "zebra " + " ".join(f"w{i}x{j}" for j in range(7))))
+    rows.append((99, "zebra zebra zebra " + " ".join(f"q{j}" for j in range(200))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    emb_rows = [(1, [1.0, 0.0, 0.0, 0.0]), (99, [0.95, 0.05, 0.0, 0.0])]
+    for i in range(2, 15):
+        emb_rows.append((i, [0.5, 0.5 + i * 0.01, i * 0.01, 0.0]))
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    run_h, qrels = _prf_hybrid_run(docs, emb, terms=("zebra",), k=10)
+    per = bm25_per_term(docs, ["zebra"])
+    run_b = grouped_topk(
+        per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
+        ["query_term"],
+        [F.desc("__s"), F.asc("doc_id")],
+        k=10,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
+
+    mb = retrieval_metrics(run_b, qrels, k=10).collect()[0]
+    mh = retrieval_metrics(run_h, qrels, k=10).collect()[0]
+    hybrid_docs = {r.doc_id for r in run_h.collect()}
+    assert 99 not in {r.doc_id for r in run_b.collect()}  # BM25 buries it
+    assert 99 in hybrid_docs  # the semantic arm recovers it
+    assert 1 in hybrid_docs  # without losing the lexical best hit
+    assert mh.ndcg_at_k > mb.ndcg_at_k
+    assert mh.recall_at_k >= mb.recall_at_k
+
+
 def test_partition_invariance(spark):
     rows_run = [("q%d" % (i % 7), i, (i % 9) + 1) for i in range(200)]
     rows_qrels = [("q%d" % (i % 7), i, (i % 4)) for i in range(0, 200, 3)]
