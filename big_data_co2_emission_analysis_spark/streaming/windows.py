@@ -374,6 +374,7 @@ def incremental_dedup_batch(
     bloom_bits: int | None = None,
     collect_stats: bool = False,
     confirm: str = "shuffle",
+    broadcast_max_fps: int = 2_000_000,
 ) -> dict:
     """One micro-batch of the streaming manifest dedup (the foreachBatch
     body of :func:`stream_incremental_dedup`, module-level so replay can
@@ -400,7 +401,14 @@ def incremental_dedup_batch(
       broadcast-semi-filter the manifest SCAN and the surviving
       manifest keys broadcast back into a ``left_anti`` -- the
       manifest is scanned, never shuffled.  Assumes micro-batches are
-      broadcast-sized (they are, by construction of a stream).
+      broadcast-sized (they are, by construction of a stream) -- and
+      ENFORCES it: a batch whose distinct-fingerprint count exceeds
+      ``broadcast_max_fps`` (default 2M, ~64 MB of raw keys before
+      hashed-relation overhead) auto-falls back to the exact shuffle
+      body for THAT batch instead of OOMing the driver/executors on
+      the broadcast build; the fallback is value-identical and
+      stamped in the returned stats (``broadcast_fallback``).  The
+      guard costs one batch-sized distinct-count action per batch.
     - ``bloom_bits=<m>``: the broadcast shape plus a cumulative Bloom
       filter over the manifest; rows that MISS it skip even the
       confirm, shrinking the broadcast to ~the true-duplicate rate
@@ -432,9 +440,25 @@ def incremental_dedup_batch(
         base_exists = False
 
     stats = {"batch_id": batch_id, "bloom_used": False,
-             "n_definite_new": 0, "n_possible_dup": 0}
+             "n_definite_new": 0, "n_possible_dup": 0,
+             "broadcast_fallback": False}
     if bloom_bits is None and confirm == "broadcast":
-        kept = _broadcast_confirm_dedup(batch_df, base, text_col, id_col)
+        from ..operators.dedup import fingerprint
+
+        n_fps = (
+            batch_df.select(fingerprint(text_col).alias("fingerprint"))
+            .distinct()
+            .count()
+        )
+        if n_fps > broadcast_max_fps:
+            # envelope exceeded: this batch would build an oversized
+            # hashed relation -- take the exact shuffle body instead
+            # (value-identical; the next normal-sized batch resumes
+            # the broadcast shape automatically)
+            stats["broadcast_fallback"] = True
+            kept = incremental_dedup(batch_df, base, text_col, id_col)
+        else:
+            kept = _broadcast_confirm_dedup(batch_df, base, text_col, id_col)
         bloom_bootstrap = False
     elif bloom_bits is None:
         kept = incremental_dedup(batch_df, base, text_col, id_col)
@@ -732,6 +756,7 @@ def stream_incremental_dedup(
     available_now: bool = True,
     bloom_bits: int | None = None,
     confirm: str = "shuffle",
+    broadcast_max_fps: int = 2_000_000,
 ):
     """Continuous-ingestion dedup: the streaming twin of the batch
     ``incremental_dedup`` manifest pipeline.  Each micro-batch of
@@ -753,12 +778,16 @@ def stream_incremental_dedup(
     fingerprints at 1% FP under the 2^30-bit cap): its bitmap
     maintenance scales with the manifest like the scan it optimizes,
     so it only pays when the batch's distinct-fingerprint broadcast
-    is itself too large."""
+    is itself too large.  The broadcast envelope is enforced per batch
+    via ``broadcast_max_fps`` (see :func:`incremental_dedup_batch`) --
+    an anomalous oversized batch degrades to the exact body for that
+    batch instead of failing the stream."""
     writer = (
         stream_df.writeStream.foreachBatch(
             lambda df, bid: incremental_dedup_batch(
                 df, bid, manifest_path, out_path, text_col, id_col,
                 bloom_bits=bloom_bits, confirm=confirm,
+                broadcast_max_fps=broadcast_max_fps,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -682,6 +682,45 @@ def test_incremental_dedup_broadcast_confirm_matches_exact(spark, tmp_path):
                                 confirm="bogus")
 
 
+def test_broadcast_confirm_envelope_falls_back_to_exact(spark, tmp_path):
+    """A batch whose distinct-fingerprint count exceeds
+    ``broadcast_max_fps`` must auto-fall back to the exact shuffle body
+    (value-identical) instead of building an oversized broadcast, stamp
+    the stats, and resume the broadcast shape on the next normal-sized
+    batch."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        incremental_dedup_batch,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema)
+    big = spark.createDataFrame(
+        [(10 + i, f"text number {i}") for i in range(8)] + [(30, "alpha")], schema
+    )
+    b2 = spark.createDataFrame([(40, "gamma"), (41, "beta")], schema)
+
+    manifest, out = str(tmp_path / "m"), str(tmp_path / "o")
+    s0 = incremental_dedup_batch(b0, 0, manifest, out, confirm="broadcast",
+                                 broadcast_max_fps=4)
+    assert s0["broadcast_fallback"] is False
+    # batch 1: 9 distinct fingerprints > 4 -> forced exact-body fallback
+    s1 = incremental_dedup_batch(big, 1, manifest, out, confirm="broadcast",
+                                 broadcast_max_fps=4)
+    assert s1["broadcast_fallback"] is True
+    # batch 2: back under the envelope -> broadcast shape again
+    s2 = incremental_dedup_batch(b2, 2, manifest, out, confirm="broadcast",
+                                 broadcast_max_fps=4)
+    assert s2["broadcast_fallback"] is False
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # alpha->1, beta->2 from b0; the 8 new texts from big (30 is a dup
+    # of alpha across batches); gamma->40 (beta dup) from b2: the
+    # fallback batch deduped exactly like the broadcast body would
+    assert got == [1, 2] + list(range(10, 18)) + [40]
+
+
 def test_broadcast_confirm_plan_never_exchanges_manifest(spark, tmp_path):
     """The point of confirm='broadcast': the manifest side reaches its
     joins through BroadcastExchange/BroadcastHashJoin only -- no
