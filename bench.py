@@ -134,6 +134,12 @@ HEADLINE = [
     # eval harness over the BM25 ranker
     "substring_dedup_rewrite",
     "bm25_eval_metrics",
+    # round-8 additions: the TREC harness over the PRODUCTION hybrid
+    # retriever, and the six-stage curation pipeline (quality ->
+    # P75 perplexity -> fingerprint dedup -> substring rewrite ->
+    # temperature mixture -> packing)
+    "hybrid_eval_metrics",
+    "curated_corpus_v4",
 ]
 
 

@@ -2319,6 +2319,231 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Flagship curation pipeline v4: v3 plus the two r7 stages -- SIX
+# stages composed: token-count quality gate -> corpus-derived P75
+# perplexity gate -> fingerprint dedup -> SUBSTRING DEDUP REWRITE
+# (keep-first removal of repeated k-token windows; the manifest
+# carries each survivor's post-cut token count) -> TEMPERATURE-SCALED
+# MIXTURE (T=2, 25% token budget over the rewritten corpus) ->
+# concat-and-split packing.  One oracle replays all six stages in SQL,
+# so a single hash match certifies the complete pretraining data
+# recipe: quality, perplexity, exact dedup, substring dedup, domain
+# mix, and packing.
+# --------------------------------------------------------------------------
+_CURATE_V4_MIX_FRAC = 0.25
+_CURATE_V4_T = 2.0
+
+
+@register(
+    "curated_corpus_v4",
+    oracle=rf"""
+    WITH
+    {{lm_bigram}},
+    {{lm_scored}},
+    ppl AS (
+      SELECT doc_id,
+             ROUND(EXP(-(CAST(SUM(lp_fx) AS DOUBLE) / 1e9 / COUNT(*))), 6) AS perplexity
+      FROM lm_scored GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, source, text,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n,
+             MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    quality AS (
+      SELECT s.* FROM stats s JOIN ppl p USING (doc_id)
+      WHERE s.n >= 20 AND s.n <= 2000
+        AND p.perplexity <= (SELECT quantile_cont(perplexity, {_CURATE_PPL_Q})
+                             FROM ppl)
+    ),
+    dd AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    norm AS (
+      SELECT doc_id, source,
+             list_filter(string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' '),
+                         t -> t <> '') AS toks
+      FROM dd
+    ),
+    win AS (
+      SELECT doc_id, CAST(t.i + 1 AS BIGINT) AS pos,
+             MD5(array_to_string(list_slice(toks, t.i + 1, t.i + {_SUBSTR_K}), ' ')) AS wh
+      FROM norm, UNNEST(range(0, GREATEST(len(toks) - {_SUBSTR_K - 1}, 0))) AS t(i)
+    ),
+    dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+    first_occ AS (
+      SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+        SELECT w.wh, w.doc_id, w.pos,
+               ROW_NUMBER() OVER (PARTITION BY w.wh ORDER BY w.doc_id, w.pos) AS rn
+        FROM win w JOIN dup USING (wh)
+      ) WHERE rn = 1
+    ),
+    removals AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN first_occ f USING (wh)
+      WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)
+    ),
+    swept AS (
+      SELECT doc_id, pos, pos + {_SUBSTR_K - 1} AS e2,
+             MAX(pos + {_SUBSTR_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cm
+      FROM removals
+    ),
+    grp AS (
+      SELECT doc_id, pos, e2,
+             SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos, e2,
+                   LAG(cm) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+            FROM swept)
+    ),
+    merged AS (SELECT doc_id, MIN(pos) AS s2, MAX(e2) AS e3
+               FROM grp GROUP BY doc_id, g),
+    rem AS (SELECT doc_id, CAST(SUM(e3 - s2 + 1) AS BIGINT) AS n_removed
+            FROM merged GROUP BY doc_id),
+    sel AS (
+      SELECT n.doc_id, n.source,
+             CAST(len(n.toks) AS BIGINT) - COALESCE(r.n_removed, 0) AS kept
+      FROM norm n LEFT JOIN rem r USING (doc_id)
+      WHERE CAST(len(n.toks) AS BIGINT) - COALESCE(r.n_removed, 0) > 0
+    ),
+    tot AS (SELECT source, SUM(kept) AS dt FROM sel GROUP BY 1),
+    gt AS (SELECT SUM(dt) AS t FROM tot),
+    wr AS (SELECT source, POW(CAST(dt AS DOUBLE) / gt.t, {1.0 / _CURATE_V4_T}) AS w_raw
+           FROM tot, gt),
+    ws AS (SELECT SUM(w_raw) AS s3 FROM wr),
+    bdg AS (
+      SELECT source,
+             ROUND(w_raw / ws.s3 * (SELECT {_CURATE_V4_MIX_FRAC} * t FROM gt), 6) AS budget
+      FROM wr, ws
+    ),
+    rr AS (
+      SELECT sel.*,
+             SUM(kept) OVER (
+               PARTITION BY source
+               ORDER BY MD5(CONCAT('42:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS UNBOUNDED PRECEDING) - kept AS cum_prev
+      FROM sel
+    ),
+    mix AS (
+      SELECT rr.doc_id, rr.kept FROM rr JOIN bdg USING (source)
+      WHERE rr.cum_prev < bdg.budget
+    ),
+    c AS (
+      SELECT doc_id, kept AS n,
+             CAST(SUM(kept) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - kept AS BIGINT) AS s
+      FROM mix
+    ),
+    e AS (SELECT doc_id, n, s, s + n AS fin FROM c),
+    x AS (
+      SELECT doc_id, s, fin,
+             UNNEST(generate_series(s // 512, (fin - 1) // 512)) AS seq_id
+      FROM e
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           GREATEST(seq_id * 512 - s, 0) AS doc_offset,
+           LEAST(fin, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512)
+             AS tokens_in_seq,
+           GREATEST(s - seq_id * 512, 0) AS seq_offset
+    FROM x ORDER BY seq_id, doc_id
+    """.format(lm_bigram=_LM_BIGRAM_CTES, lm_scored=_LM_SCORED_CTES),
+    tags=("packing", "dedup", "text", "lm", "pipeline", "quantile",
+          "mixture", "substring"),
+)
+def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining data recipe, certified by one oracle:
+    quality gate -> corpus-derived P75 perplexity gate -> fingerprint
+    dedup -> substring dedup rewrite (the manifest carries each
+    survivor's post-cut token count; the clean text itself joins in at
+    materialization via operators.substrings.substring_dedup_rewrite)
+    -> temperature-scaled mixture (T=2, 25% token budget) ->
+    concat-and-split packing."""
+    from ..operators.dedup import fingerprint_dedup, normalize_text
+    from ..operators.ngram_lm import score_docs_bigram_lm
+    from ..operators.packing import concat_split_pack
+    from ..operators.quantiles import exact_quantiles
+    from ..operators.sampling import temperature_mixture
+    from ..operators.substrings import removal_intervals
+
+    docs = _docs(spark, sf_dir)
+    # ppl feeds the quantile AND the gate join; checkpoint so the
+    # bigram-LM train+score runs once (the v3 lesson, measured at sf10)
+    ppl = (
+        score_docs_bigram_lm(docs, alpha=_LM_ALPHA)
+        .select("doc_id", "perplexity")
+        .localCheckpoint(eager=True)
+    )
+    cut = exact_quantiles(
+        ppl.select(F.lit(1).alias("k"), "perplexity"),
+        "k",
+        "perplexity",
+        [_CURATE_PPL_Q],
+    ).select(F.col("value").alias("max_ppl"))
+    stats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    quality = (
+        stats.join(ppl, "doc_id")
+        .join(F.broadcast(cut))
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 2000)
+            & (F.col("perplexity") <= F.col("max_ppl"))
+        )
+    )
+    dd = fingerprint_dedup(quality, "text", "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    # substring rewrite stage: only the post-cut token COUNT rides the
+    # manifest (kept = normalized tokens minus the merged removal
+    # intervals' length; intervals are disjoint after merging)
+    iv = removal_intervals(
+        dd,
+        k=_SUBSTR_K,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
+    )
+    removed = iv.groupBy("doc_id").agg(
+        F.sum(F.col("end") - F.col("start") + 1).cast("long").alias("__rm")
+    )
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
+    # checkpoint the survivor manifest: the mixture total (control
+    # plane), the mixture window, and packing's internal jobs all
+    # consume it -- without this the LM + rewrite chain re-runs per
+    # action (doc_id, source, kept: N x ~24 B, linear)
+    sel = (
+        dd.select("doc_id", "source", F.size(toks).cast("long").alias("__n"))
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("__n") - F.coalesce(F.col("__rm"), F.lit(0))).alias("kept"),
+        )
+        .filter(F.col("kept") > 0)
+        .localCheckpoint(eager=True)
+    )
+    total = sel.agg(F.sum("kept")).collect()[0][0]  # 1-row control plane
+    mix = temperature_mixture(
+        sel,
+        "source",
+        "kept",
+        budget_tokens=_CURATE_V4_MIX_FRAC * total,
+        temperature=_CURATE_V4_T,
+    )
+    return concat_split_pack(mix, "doc_id", "tokens", budget=512).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # RAG retrieval chain (functions/embedder.py): chunk -> embed ->
 # retrieve, composed and oracle-checked end to end.  The embedder is
 # the documented deterministic stub (md5 pseudo-projection) with the
