@@ -117,6 +117,7 @@ def score_docs_bigram_lm(
     text_col: str = "text",
     alpha: float = 0.5,
     ctx_join: str = "auto",
+    stream_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, avg_logprob, perplexity).
 
@@ -154,6 +155,31 @@ def score_docs_bigram_lm(
     All three are value-identical (oracle-pinned); only the physical
     join strategy differs.
 
+    ``stream_partitions`` (r8, value-identical, opt-in at scale): by
+    default the bigram stream is EXTRACTED TWICE -- once pruned to
+    (v, w) for training, once with the id for scoring -- because the
+    two subtrees canonicalize differently and nothing is shared.  When
+    set, one (id, v, w) stream is explicitly repartitioned by (v, w)
+    and BOTH consumers read that single exchange (training keeps the
+    id referenced via ``plans.pinning.pinned_count``, so pruning
+    cannot re-split the subtrees): one corpus scan + tokenize +
+    explode instead of two, and the training shuffle rides the
+    exchange the scoring join needs anyway.  The trade is the training
+    aggregate's map-side combine (worthless on mostly-distinct web
+    bigrams) and a forced exchange where AQE would have broadcast the
+    count table.  Measured A/B at fixtures/sf10 (500k docs, 25M
+    bigrams, Heaps-bounded synthetic vocabulary): stock 15.5 s warm vs
+    shared 18-19 s -- on THIS corpus the vocabulary is small enough
+    that AQE broadcasts the counts and never shuffles the stream, so
+    the registry queries run stock.  The shared mode's envelope is the
+    open-vocabulary web corpus, where the bigram-count table is far
+    past broadcast capacity and the scoring join must shuffle the
+    stream anyway -- there it removes one of two corpus
+    scans+tokenizations and the training exchange outright.  Size like
+    the substring family's ``agg_partitions`` (~one partition per
+    512 KiB of compressed text); value parity + single-scan stage
+    reuse pinned in tests/test_ngram_lm.py.
+
     Cross-engine note (accepted knife edge): the per-bigram smoothed
     probability is a plain IEEE division -- bit-identical in Spark and
     DuckDB -- but ``ln()`` is JVM ``Math.log`` here vs libm in the
@@ -167,8 +193,27 @@ def score_docs_bigram_lm(
     """
     if ctx_join not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"ctx_join must be auto|broadcast|shuffle, got {ctx_join!r}")
-    counts, ctx, vocab = bigram_lm_counts(docs, id_col, text_col)
-    big = doc_bigrams(docs, id_col, text_col)
+    if stream_partitions is not None:
+        from ..plans.pinning import pinned_count, pinned_filter
+
+        big = doc_bigrams(docs, id_col, text_col).repartition(
+            stream_partitions, "v", "w"
+        )
+        counts = big.groupBy("v", "w").agg(
+            pinned_count([id_col]).alias("c_vw")
+        )
+        ctx = counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+        # the vocab branch uses only `w`: without the pin, pruning
+        # drops c_vw (and with it the pinned id) from ITS copy of the
+        # counts aggregate, the subtrees stop canonicalizing equal,
+        # and the corpus is scanned a second time just for this
+        # one-row scalar
+        vocab = counts.filter(pinned_filter(["c_vw"])).agg(
+            F.count_distinct("w").alias("v_size")
+        )
+    else:
+        counts, ctx, vocab = bigram_lm_counts(docs, id_col, text_col)
+        big = doc_bigrams(docs, id_col, text_col)
 
     lp = F.log(
         (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))

@@ -85,25 +85,19 @@ def duplicated_windows(postings: DataFrame) -> DataFrame:
     """(wh, n_occurrences) for window hashes seen >= 2 times corpus-wide
     (same-document repetition counts, per the substring-dedup paper).
 
-    The count argument is ``count(CASE WHEN pos >= 1 THEN
-    struct(<every posting column>) END)`` -- exactly ``count(*)``,
-    because ``pos`` is 1-based by construction (:func:`window_postings`
-    emits ``__p + 1``) so the CASE never yields null.  The roundabout
-    form is deliberate: a bare ``count(1)`` lets column pruning narrow
-    this branch's scan and exchange to just ``wh``, making the
-    posting-exchange subtree canonically different from the mark-join's
-    sibling subtree -- AQE stage reuse then misses and the corpus-sized
-    posting shuffle (the engine's largest) plus the window-extraction
-    scan are paid twice.  A plain non-nullable ``count(struct(...))``
-    does not survive either (Catalyst rewrites it back to ``count(1)``
-    and prunes); ``pos >= 1`` is true but unprovable, so the columns
-    stay referenced (measured at sf10: the reuse is worth ~25% of
+    The count is ``plans.pinning.pinned_count`` over every non-key
+    posting column -- exactly ``count(*)``, but the columns stay
+    REFERENCED so column pruning cannot narrow this branch's scan and
+    exchange to just ``wh``: that would make the posting-exchange
+    subtree canonically different from the mark-join's sibling subtree,
+    AQE stage reuse would miss, and the corpus-sized posting shuffle
+    (the engine's largest) plus the window-extraction scan would be
+    paid twice (measured at sf10: the reuse is worth ~25% of
     substring_dedup_rewrite's wall-clock)."""
+    from ..plans.pinning import pinned_count
+
     others = [c for c in postings.columns if c != "wh"]
-    if "pos" in postings.columns and others:
-        cnt = F.count(F.when(F.col("pos") >= 1, F.struct(*others)))
-    else:
-        cnt = F.count(F.lit(1))
+    cnt = pinned_count(others) if others else F.count(F.lit(1))
     return (
         postings.groupBy("wh")
         .agg(cnt.alias("n_occurrences"))

@@ -153,3 +153,30 @@ def test_ctx_join_auto_degrades_to_shuffle_without_aqe(spark, sf_dir):
         for r in score_docs_bigram_lm(docs, ctx_join="shuffle").collect()
     )
     assert vals == want and vals
+
+
+def test_stream_partitions_value_identical_and_shares_exchange(spark, sf_dir):
+    """stream_partitions (the r8 shared-bigram-stream mode) must be
+    value-identical to the stock two-extraction plan, and its executed
+    plan must extract the corpus ONCE: a single documents scan feeding
+    one (v, w) exchange that both the training aggregate and the
+    scoring join consume (AQE stage reuse)."""
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    stock = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
+        for r in score_docs_bigram_lm(docs).collect()
+    )
+    shared_df = score_docs_bigram_lm(docs, stream_partitions=8)
+    shared = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
+        for r in shared_df.collect()
+    )
+    assert shared == stock and shared
+
+    plan = shared_df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Reused" in final, final[:4000]
+    assert len(re.findall(r"Scan parquet", final)) == 1, final[:4000]

@@ -430,6 +430,13 @@ _NLJ_WHITELIST = {
     # r7: 1-row grand-total and weight-sum scalars broadcast into the
     # |domains|-row budget table
     "temperature_mixture_manifest",
+    # r8: |terms|-row (6) broadcast PRF query-vector set expanding the
+    # corpus embeddings map-side -- the multi-query twin of
+    # rag_chunk_retrieval's 1-row pattern
+    "hybrid_eval_metrics",
+    # r8: v3's 1-row P75 threshold + temperature_mixture_manifest's
+    # 1-row mixture scalars, composed in one pipeline
+    "curated_corpus_v4",
 }
 
 
