@@ -96,3 +96,33 @@ def test_control_plane_guard_raises_on_high_cardinality_key(spark):
     # same data passes when the cap accommodates P*K
     out = exact_quantiles(df, "k", "v", [0.5], num_partitions=4, max_control_rows=5000)
     assert out.count() == 500
+
+
+def test_slice_pruning_enters_window_with_target_slices_only(spark):
+    """The r8 slice pruning: the rank window's input is semi-filtered
+    to the target-containing (partition, key) slices, and values are
+    still exactly percentile_cont.  The plan of the lazy mode must
+    carry the LeftSemi pin; the materialized values must match Spark's
+    built-in exact percentile."""
+    from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(v)) for v in range(1000)] + [
+        ("b", float(v) * 2.0) for v in range(700)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    lazy = exact_quantiles(df, "k", "v", [0.5], num_partitions=8, materialize=False)
+    assert "LeftSemi" in explain_formatted(lazy)
+
+    out = {
+        (r.k, r.q): r.value
+        for r in exact_quantiles(df, "k", "v", [0.25, 0.5, 0.75],
+                                 num_partitions=8).collect()
+    }
+    want = df.groupBy("k").agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("p")
+    ).collect()
+    for r in want:
+        assert out[(r.k, 0.25)] == r.p[0]
+        assert out[(r.k, 0.5)] == r.p[1]
+        assert out[(r.k, 0.75)] == r.p[2]
