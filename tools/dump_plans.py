@@ -185,22 +185,28 @@ SHOWCASE = [
     ),
     (
         "substring_dup_stats",
-        "Substring duplication: windows explode map-side; duplicated "
-        "windows come from one map-side-combined groupBy on the window "
-        "hash; the mark-back join is 1:1 per posting (NO pair "
-        "expansion, so boilerplate hot windows cost linear work); the "
-        "interval-union sweep is a per-doc window function.",
+        "Substring duplication: windows explode map-side into postings "
+        "keyed by the 16-byte BINARY unhex(md5) window hash (r8: half "
+        "the hex-string key width on the engine's largest shuffle); "
+        "duplicated windows come from a groupBy on the hash; the "
+        "mark-back join is 1:1 per posting (NO pair expansion, so "
+        "boilerplate hot windows cost linear work); the interval-union "
+        "sweep is a per-doc window function.  r8: both posting "
+        "consumers share ONE exchange (not-null filters + the "
+        "pruning-pinned count keep the subtrees canonical-identical, "
+        "so AQE stage reuse fires -- one corpus scan+extract, not two) "
+        "and the posting exchanges auto-size (2.7 GB sf10 spill -> 0).",
     ),
     (
         "substring_dedup_rewrite",
-        "The rewrite pass: first occurrences ride the SAME "
-        "map-side-combined groupBy that finds duplicates (min(struct) "
-        "agg, no per-hash window sort); removal intervals merge with "
-        "the running-max sweep (three Window ops share ONE doc-keyed "
-        "sort); the text rebuild is an indexed filter/exists over "
-        "broadcast-joined interval arrays -- native end-to-end.  "
-        "Posting-keyed exchanges auto-size from input bytes (spill "
-        "3.2 GiB -> 0 at sf10).",
+        "The rewrite pass: first occurrences ride the SAME groupBy "
+        "that finds duplicates (min(struct) agg, no per-hash window "
+        "sort) over the SAME reused posting exchange as the mark-join "
+        "probe (r8); removal intervals merge with the running-max "
+        "sweep (three Window ops share ONE doc-keyed sort); the text "
+        "rebuild is an indexed filter/exists over broadcast-joined "
+        "interval arrays -- native end-to-end.  sf10: 24.0 -> 18.7 s, "
+        "shuffle write -56%.",
     ),
     (
         "bm25_eval_metrics",
@@ -209,6 +215,26 @@ SHOWCASE = [
         "corpus-sized single-partition sort; run->qrels join is keyed "
         "1:1; DCG/MRR are one map-side-combined groupBy; only the "
         "ideal ranking windows over the qrels lists.",
+    ),
+    (
+        "hybrid_eval_metrics",
+        "r8: the TREC harness over the PRODUCTION RRF retriever.  The "
+        "PRF query vectors (one per eval term = the lexical #1 doc's "
+        "embedding) broadcast into a map-side |terms|x cosine "
+        "expansion over the corpus embeddings; both arms and the "
+        "fused run cut through the salted grouped_topk; metrics reuse "
+        "operators/ir_eval.py unchanged.",
+    ),
+    (
+        "quartiles_per_flag_distributed",
+        "Exact distributed percentiles: range-repartition by (key, "
+        "value), P*K-row control plane, partition-local rank windows.  "
+        "r8: a broadcast LeftSemi prunes the rank window's input to "
+        "the target-containing (partition, key) slices only -- the "
+        "driver locates each target rank's slice from the offsets it "
+        "already holds, so the second full-data exchange+sort shrinks "
+        "to keys x quantiles x <=2 slices.  No SinglePartition "
+        "anywhere (asserted).",
     ),
 ]
 
