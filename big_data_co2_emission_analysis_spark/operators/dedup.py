@@ -216,7 +216,23 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    inv = shingled.select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle"))
+    # the posting stream is keyed by the 16-byte BINARY md5 of the
+    # shingle, not the shingle string itself (the substring family's
+    # r8 lesson: the key is most of each posting row's width on the
+    # engine-largest exchanges, and nothing downstream needs the
+    # text).  md5's 128 bits make a collision -- which would merge two
+    # shingles' posting lists into spurious candidate pairs --
+    # practically impossible at any corpus size (~1e-15 at 10^12
+    # distinct shingles); a 64-bit key would NOT be safe there
+    # (~dozens of expected collisions), which is why xxhash64 is not
+    # used despite being narrower.
+    inv = shingled.select(
+        "id",
+        F.size("shingles").alias("n"),
+        F.explode(
+            F.transform("shingles", lambda s: F.unhex(F.md5(s)))
+        ).alias("shingle"),
+    )
     if agg_partitions is not None:
         inv = inv.repartition(agg_partitions, "shingle")
     grouped = (
