@@ -267,3 +267,86 @@ def deterministic_logreg(
         return out, weights, intercept
     finally:
         base.unpersist()
+
+
+# -- deterministic product quantization --------------------------------------
+
+
+def deterministic_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ks: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization training whose codebooks AND codes are
+    bit-exactly replicable -- the deterministic twin of the numpy PQ
+    build (operators/similarity.py pq_build_index, whose SIMD
+    float-sum order makes it rows-only by contract).
+
+    Vectors are L2-normalized (the PQ-for-cosine convention the numpy
+    path uses), split into ``m`` equal sub-spaces, and each sub-space
+    is clustered with ``deterministic_kmeans`` (DECIMAL(38,15) centroid
+    sums, md5 init, fixed iterations) under seed ``seed + j`` -- so the
+    code of a vector in sub-space j is simply its deterministic cluster
+    assignment there, and the whole build replays in pure Python
+    (tools/gen_pq_expected.py).
+
+    Returns ``(codes, codebooks)``:
+
+    - ``codes``: long-form DataFrame ``(id_col, sub int, cid int)``,
+      one row per (vector, sub-space) -- the exploded shape the ADC
+      scan joins against directly;
+    - ``codebooks``: ``m x ks x (dim/m)`` Python doubles.
+
+    Scale shape: the build is a scheduled one-off (m * n_iter bounded
+    scans, each a map-side-combined ks*dsub-cell aggregate); encoding
+    IS the final assignment pass of each sub-space k-means, so no
+    separate encode job exists to get out of sync with the codebooks.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).head()
+    if dim_row is None:
+        raise ValueError("empty input")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # normalize ONCE as a column (norm hoisted out of the transform
+    # lambda -- referencing the un-materialized aggregate inside it
+    # would re-run the O(d) fold per element), mirrored verbatim by
+    # the pure-Python generator
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), norm.alias("__n"))
+    normed = base.select(
+        "id", F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__n")).alias("nv")
+    )
+
+    codes_parts = []
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = normed.select("id", F.slice("nv", j * dsub + 1, dsub).alias("sv"))
+        asg, cents = deterministic_kmeans(
+            sub, "id", "sv", k=ks, n_iter=n_iter, seed=seed + j
+        )
+        codes_parts.append(
+            asg.select(
+                F.col("id").alias(id_col),
+                F.lit(j).alias("sub"),
+                F.col("cluster").alias("cid"),
+            )
+        )
+        codebooks.append(cents)
+
+    codes = codes_parts[0]
+    for part in codes_parts[1:]:
+        codes = codes.unionByName(part)
+    return codes, codebooks

@@ -566,3 +566,110 @@ def ivf_search_assigned(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_search_coded(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """PQ search over PRE-COMPUTED codes with an explicit codebook --
+    quantizer-agnostic (the ``ivf_search_assigned`` convention): feed
+    it the numpy ``pq_build_index`` output or the bit-exact
+    ``ml.deterministic.deterministic_pq`` codes.  With the
+    deterministic quantizer the WHOLE search -- ADC table, short-list
+    cut, re-rank -- becomes value-verifiable in SQL, which the
+    numpy-trained ``pq_search`` can never be (rows-only by contract).
+
+    Stages, all JVM-side (no Python, no driver data-path collect):
+
+    - LUT: queries L2-normalize, then one broadcast cross-join against
+      the m*ks codebook rows; each inner product is a sequential
+      array fold rounded to 6 dp and CAST TO DECIMAL(38,6), so the
+      cross-sub-space ADC sum is exact integer arithmetic --
+      order-independent across partitionings and engines.
+    - ADC: codes (long form: id, sub, cid) broadcast-join the LUT on
+      (sub, cid), one map-side-combined groupBy summing the m decimal
+      terms per (query, vector).
+    - short-list: top ``refine * k`` per query by (adc, id) through
+      the salted two-level ``grouped_topk`` -- the corpus-sized ADC
+      stream never funnels into one single-task sort.
+    - re-rank: exact cosine (6 dp) of the short-list against the
+      corpus vectors; final rank window is bounded (refine*k rows per
+      query).
+
+    Scale shape: the only corpus-sized exchanges are the codes scan
+    and its grouped_topk lanes; codebook and query relations ride as
+    broadcasts.  Codes are ~m bytes/vector vs 4*dim for floats -- the
+    32x-compression memory story of the numpy path, kept.
+    """
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    book_rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+    books_df = spark.createDataFrame(book_rows, "sub int, cid int, cvec array<double>")
+
+    qn = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__n"),
+    ).select(
+        "qid",
+        F.col("__qv").alias("qvec"),
+        F.col("__n").alias("qnorm"),
+        F.transform(F.col("__qv"), lambda x: x.cast("double") / F.col("__n")).alias("nq"),
+    )
+    lut = qn.crossJoin(F.broadcast(books_df)).select(
+        "qid",
+        "sub",
+        "cid",
+        F.round(dot(F.slice(F.col("nq"), F.col("sub") * dsub + 1, dsub), F.col("cvec")), 6)
+        .cast("decimal(38,6)")
+        .alias("ip"),
+    )
+
+    adc = (
+        codes.select(F.col(corpus_id).alias("id"), "sub", "cid")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("qid", "id")
+        .agg(F.sum("ip").alias("adc"))
+    )
+    from ..functions.ranking import grouped_topk
+
+    short = grouped_topk(
+        adc,
+        ["qid"],
+        [F.desc("adc"), F.asc("id")],
+        k=refine * k,
+        salt_on=["id"],
+        rank_col="__sr",
+    ).select("qid", "id")
+
+    rerank = (
+        short.join(
+            corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("vec")),
+            "id",
+        )
+        .join(F.broadcast(qn.select("qid", "qvec", "qnorm")), "qid")
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("id").alias(corpus_id),
+            F.round(
+                dot(F.col("vec"), F.col("qvec")) / (l2_norm(F.col("vec")) * F.col("qnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return rerank.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)

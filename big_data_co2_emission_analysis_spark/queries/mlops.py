@@ -955,3 +955,163 @@ def ann_ivf_det_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, assignments, centroids, queries, k=10, nprobe=_IVF_DET_NPROBE
     )
     return out.orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Deterministic PQ ANN (ml/deterministic.py deterministic_pq +
+# operators/similarity.py pq_search_coded): the value-verifiable twin
+# of the numpy-trained ann_pq_top10 (rows-only by contract -- numpy's
+# SIMD float-sum order is not replicable).  Codebooks train with the
+# bit-exact per-sub-space k-means, codes ARE the assignments, the ADC
+# sum is exact DECIMAL(38,6) arithmetic, and the whole search -- LUT,
+# short-list cut, cosine re-rank -- replays in SQL against the
+# generator-replicated expected tables (tools/gen_pq_expected.py).
+# --------------------------------------------------------------------------
+_PQ_DET_M = 4
+_PQ_DET_KS = 16
+_PQ_DET_REFINE = 4
+#: dim 64 / m 4 -- the oracle SQL needs the slice width as a literal
+_PQ_DET_DSUB = 16
+
+
+def _det_pq(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ codes + codebooks for the fixture embeddings,
+    through the fingerprint-keyed build-once cache (the _det_kmeans
+    convention): training is a one-off scheduled build (m * n_iter
+    bounded scans); every search should not pay it again.  Output is
+    deterministic by construction, so caching cannot change values."""
+    import json
+    import os
+
+    from ..ml.deterministic import deterministic_pq
+
+    cache = _index_cache_path(sf_dir, "detpq")
+    c_path, b_path = f"{cache}/codes", f"{cache}/codebooks.json"
+    if os.path.exists(f"{c_path}/_SUCCESS") and os.path.exists(b_path):
+        with open(b_path) as fh:
+            books = json.load(fh)
+        return spark.read.parquet(c_path), books
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = deterministic_pq(
+        emb, "vec_id", "embedding", m=_PQ_DET_M, ks=_PQ_DET_KS, n_iter=5, seed=42
+    )
+    tmp_c = f"{c_path}.tmp-{os.getpid()}"
+    codes.write.mode("overwrite").parquet(tmp_c)
+    _publish_cache_dir(tmp_c, c_path)
+    os.makedirs(cache, exist_ok=True)
+    tmp = b_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(books, fh)
+    os.replace(tmp, b_path)
+    return spark.read.parquet(c_path), books
+
+
+@register(
+    "pq_det_codes",
+    oracle=f"""
+    SELECT vec_id, sub, cid
+    FROM read_parquet('{_DEDUP_EXPECTED}/pq_det_codes.parquet')
+    WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ORDER BY vec_id, sub
+    """,
+    tags=("ml", "vector", "similarity"),
+)
+def pq_det_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's PQ code in every sub-space under the
+    deterministic quantizer -- bit-for-bit against the independent
+    pure-Python replication (the kmeans_deterministic convention),
+    so a drift anywhere in normalize/slice/train/assign pins to the
+    exact (vector, sub-space) cell."""
+    codes, _ = _det_pq(spark, sf_dir)
+    return codes.select("vec_id", "sub", "cid").orderBy("vec_id", "sub")
+
+
+_PQ_DET_ORACLE_CTES = f"""
+    bk AS (
+      SELECT sub, cid, LIST(value ORDER BY pos) AS cvec
+      FROM read_parquet('{_DEDUP_EXPECTED}/pq_det_codebooks.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+      GROUP BY sub, cid
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid
+      FROM read_parquet('{_DEDUP_EXPECTED}/pq_det_codes.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    nq AS (
+      SELECT qid, qv, qn, LIST_TRANSFORM(qv, x -> x / qn) AS nv FROM q
+    ),
+    lut AS (
+      SELECT nq.qid, bk.sub, bk.cid,
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(
+                    LIST_ZIP(nq.nv[bk.sub * {_PQ_DET_DSUB} + 1 : (bk.sub + 1) * {_PQ_DET_DSUB}],
+                             bk.cvec),
+                    p -> p[1] * p[2])), 6) AS DECIMAL(38,6)) AS ip
+      FROM nq CROSS JOIN bk
+    ),
+    adc AS (
+      SELECT l.qid, c.vec_id, SUM(l.ip) AS adc
+      FROM codes c JOIN lut l USING (sub, cid)
+      GROUP BY l.qid, c.vec_id
+    ),
+    short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS sr
+        FROM adc
+      ) WHERE sr <= {_PQ_DET_REFINE * 10}
+    ),
+    rerank AS (
+      SELECT s.qid AS query_id, s.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(
+                      LIST_ZIP(CAST(e.embedding AS DOUBLE[]), nq.qv), p -> p[1] * p[2]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                      * nq.qn), 6) AS cosine
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN nq ON nq.qid = s.qid
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM rerank
+    )
+"""
+
+
+@register(
+    "ann_pq_det_top10",
+    oracle=f"""
+    WITH
+    {_PQ_DET_ORACLE_CTES}
+    SELECT query_id, vec_id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("vector", "similarity", "ml"),
+)
+def ann_pq_det_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-10 for the 5 standard queries under the deterministic
+    quantizer (m=4 sub-spaces, ks=16, ADC short-list refine*k=40,
+    exact cosine re-rank) -- the oracle-checked twin of the rows-only
+    numpy PQ path: LUT inner products, the exact-decimal ADC sums,
+    the short-list boundary, and the final re-ranked cosines all
+    replay bit-for-bit in SQL."""
+    from ..operators.similarity import pq_search_coded
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = _det_pq(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = pq_search_coded(
+        emb, codes, books, queries, k=10, refine=_PQ_DET_REFINE
+    )
+    return out.orderBy("query_id", "rank")
