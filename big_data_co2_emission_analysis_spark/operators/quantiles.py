@@ -69,6 +69,10 @@ def exact_quantiles(
     tool).  The count is checked with a cheap follow-on job BEFORE
     collecting; breach raises rather than OOMs the driver (the
     ``pq_search`` guard pattern, operators/similarity.py)."""
+    if not qs:
+        # fail fast: downstream createDataFrame calls would otherwise
+        # raise an obscure "can not infer schema from empty dataset"
+        raise ValueError("exact_quantiles needs at least one quantile in qs")
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile out of range: {q}")
@@ -111,6 +115,23 @@ def exact_quantiles(
             "across groups), or raise max_control_rows explicitly."
         )
     counts = ctrl.collect()
+    if not counts:
+        # empty or all-null input: no (partition, key) slice exists, so
+        # every quantile is undefined -- return an empty, correctly
+        # typed (key, q, value) frame instead of letting the broadcast
+        # relation builders below choke on an empty local dataset.
+        if materialize:
+            base.unpersist()
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        empty_schema = StructType(
+            [
+                StructField(key_col, df.schema[key_col].dataType, True),
+                StructField("q", DoubleType(), True),
+                StructField("value", DoubleType(), True),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     per_key_total: dict = {}
     for r in sorted(counts, key=lambda r: (str(r["_k"]), r["_pid"])):
         per_key_total[r["_k"]] = per_key_total.get(r["_k"], 0) + r["_c"]

@@ -27,6 +27,14 @@ exchange it deduplicates.
 
 Cross-engine note: oracles replay this as plain ``COUNT(*)`` -- the
 pin changes the plan, never the value.
+
+Spark-version dependency: verified against Spark 4.1.2.  The pin works
+only while Catalyst has no simplification rule for ``pmod(x, 1) = 0``;
+an upgrade that adds one silently re-splits the sibling subtrees (values
+stay correct, the exchange-reuse perf win vanishes).
+``tests/test_plans.py::test_pinned_count_survives_optimizer`` is the
+direct canary -- if it fails after a Spark upgrade, this module is the
+cause.
 """
 
 from __future__ import annotations

@@ -75,6 +75,29 @@ def _stage_dir(sf_dir: str) -> str:
     return _STAGED_DIRS[sf_dir]
 
 
+def _list_state_dir(path: str, spark: SparkSession | None = None) -> list[str] | None:
+    """Child entry NAMES of a state/manifest directory, or ``None`` if
+    it does not exist (or is a plain file).  Probes through the Hadoop
+    FileSystem API rather than ``os.listdir``: a local-FS probe sees
+    every ``hdfs://`` / ``s3a://`` path as absent, which at the calling
+    sites silently re-seeds streaming state every batch (e.g. the PSI
+    drift reference -- suppressing all subsequent drift alerts) instead
+    of reading it.  With the Hadoop probe, remote schemes either list
+    for real (jars configured) or fail LOUDLY in ``getFileSystem``.
+
+    NOTE: the Bloom snapshot BLOBS (``<manifest>_bloom/*.bin``) remain
+    local-file IO -- :func:`_bloom_snapshot_path` enforces that
+    constraint explicitly."""
+    from pyspark.sql import SparkSession as _S
+
+    spark = spark or _S.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
+        return None
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture, normalizing the
     timestamp encoding EXACTLY like the batch reader
@@ -339,6 +362,18 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int, path: str) -> Non
 def _bloom_snapshot_path(manifest_path: str, batch_id: int) -> str:
     import os
 
+    # The snapshot blobs are read/written with plain local-file IO (a
+    # bitmap is a single binary object, not a dataset); this is a
+    # documented LOCAL-FS-ONLY constraint -- refuse remote schemes
+    # loudly rather than silently treating the snapshot store as empty
+    # (which would re-bootstrap the Bloom filter every batch).  The
+    # manifest PARQUET itself is scheme-agnostic.
+    if "://" in manifest_path and not manifest_path.startswith("file:"):
+        raise NotImplementedError(
+            f"Bloom snapshot blobs use local-file IO; manifest scheme in "
+            f"{manifest_path!r} is unsupported -- run with bloom_bits=None "
+            "(shuffle/broadcast confirm) for remote manifests"
+        )
     return os.path.join(f"{manifest_path}_bloom", f"cumulative_{batch_id:012d}.bin")
 
 
@@ -489,15 +524,14 @@ def incremental_dedup_batch(
         # one-partition parquet scan -- the snapshot job then costs a
         # tiny scan + the sparse build instead of re-walking the
         # broadcast-join plan through the cache).
-        import os as _os
-
         # an all-empty-batches manifest dir holds only _SUCCESS (a
         # 0-row dynamic-overwrite write creates no partition dirs) and
         # spark.read.parquet would fail schema inference -- fall back
         # to kept's (empty) fingerprints; lazy recompute is correct,
         # see the persist comment above
-        has_parts = _os.path.isdir(manifest_path) and any(
-            e.startswith("batch_id=") for e in _os.listdir(manifest_path)
+        has_parts = any(
+            e.startswith("batch_id=")
+            for e in _list_state_dir(manifest_path, spark) or []
         )
         just_written = (
             spark.read.parquet(manifest_path)
@@ -522,12 +556,9 @@ def _manifest_has_batches_between(
     a stretch of batches run with ``bloom_bits=None``).  A stale
     snapshot has false negatives over those batches' fingerprints, so
     it must not be trusted."""
-    import os
     import re
 
-    if not os.path.isdir(manifest_path):
-        return False
-    for e in os.listdir(manifest_path):
+    for e in _list_state_dir(manifest_path) or []:
         mt = re.fullmatch(r"batch_id=(\d+)", e)
         if mt and after_batch_id < int(mt.group(1)) < before_batch_id:
             return True
@@ -1191,7 +1222,6 @@ def quality_psi_batch(
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-    import os
     import re
 
     # pre-check for committed PRIOR batch partitions instead of a
@@ -1199,11 +1229,15 @@ def quality_psi_batch(
     # has_parts pattern): an absent/empty state dir means "first
     # batch, seed the reference", but a corrupt or unreadable state
     # parquet must fail LOUDLY -- silently re-seeding the reference
-    # would suppress every subsequent drift alert.
+    # would suppress every subsequent drift alert.  The probe goes
+    # through the Hadoop FileSystem API (_list_state_dir) so an
+    # hdfs://-or-s3a:// state_path is listed for real -- a local-FS
+    # probe would see it as absent and re-seed every batch, the exact
+    # failure mode this pre-check exists to eliminate (ADVICE r8).
     prior = None
-    has_prior = os.path.isdir(state_path) and any(
+    has_prior = any(
         (mt := re.fullmatch(r"batch_id=(\d+)", e)) and int(mt.group(1)) < batch_id
-        for e in os.listdir(state_path)
+        for e in _list_state_dir(state_path, spark) or []
     )
     if has_prior:
         prior = (

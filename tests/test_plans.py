@@ -475,3 +475,35 @@ def test_broadcast_centroid_assignment_aggregates_map_side(spark, sf_dir):
     plan = explain_formatted(asg)
     assert "Window" not in plan, "min-selection regressed to a window"
     assert "partial_min" in plan, "no map-side partial aggregation below the Exchange"
+
+
+def test_pinned_count_survives_optimizer(spark):
+    """Direct unit canary for plans/pinning.py (Spark-upgrade risk).
+
+    The pin depends on Catalyst having NO simplification rule for
+    ``pmod(xxhash64(...), 1) = 0`` -- verified on Spark 4.1.2.  If a
+    future Spark folds it, column pruning drops the pinned columns, the
+    substring posting subtrees stop canonicalizing equal, and the
+    corpus-sized exchange is paid twice (values stay correct, ~25-56%
+    of substring_dup_stats/substring_dedup_rewrite wall-clock returns).
+    This test pinpoints that regression in seconds: the pinned column
+    must survive into the optimized aggregate, the unpinned control
+    must NOT, and the pin must stay value-transparent (== count(*))."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.plans.pinning import pinned_count
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "c")], ["k", "v"])
+
+    pinned = df.groupBy("k").agg(pinned_count(["v"]).alias("n"))
+    opt = pinned._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64(v" in opt, (
+        f"pinned column pruned from the optimized aggregate -- Catalyst now "
+        f"folds pmod(x, 1) = 0 (Spark upgrade?); plan:\n{opt}"
+    )
+
+    plain = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    opt_plain = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in opt_plain, "control plan unexpectedly references the probe hash"
+
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, plain.collect()))

@@ -126,3 +126,28 @@ def test_slice_pruning_enters_window_with_target_slices_only(spark):
         assert out[(r.k, 0.25)] == r.p[0]
         assert out[(r.k, 0.5)] == r.p[1]
         assert out[(r.k, 0.75)] == r.p[2]
+
+
+def test_empty_qs_and_empty_input_edge_cases(spark):
+    """ADVICE r8: qs=[] must fail with a clear error (not an obscure
+    'can not infer schema from empty dataset'), and an empty / all-null
+    input must return an empty, correctly-typed (key, q, value) frame."""
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="at least one quantile"):
+        exact_quantiles(df, "k", "v", [])
+
+    empty = spark.createDataFrame([], "k string, v double")
+    out = exact_quantiles(empty, "k", "v", [0.5])
+    assert out.columns == ["k", "q", "value"]
+    assert out.count() == 0
+
+    all_null = spark.createDataFrame([("a", None), ("b", None)], "k string, v double")
+    out2 = exact_quantiles(all_null, "k", "v", [0.25, 0.75])
+    assert out2.count() == 0
+    assert [f.dataType.simpleString() for f in out2.schema.fields] == [
+        "string", "double", "double",
+    ]

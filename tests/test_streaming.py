@@ -1041,3 +1041,41 @@ def test_incremental_dedup_bloom_survives_empty_first_batch(spark, tmp_path):
 
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 4}  # within-batch dup 2 and cross-batch dup 3 rejected
+
+
+def test_list_state_dir_hadoop_probe(spark, tmp_path):
+    """ADVICE r8: state-dir probes must go through the Hadoop FS API so
+    remote state paths are listed for real (or fail loudly), never
+    silently treated as absent.  Local smoke: missing dir -> None,
+    plain file -> None, real dir -> names, and a file:// URI (a scheme'd
+    path os.listdir could not take) lists identically."""
+    from big_data_co2_emission_analysis_spark.streaming.windows import _list_state_dir
+
+    assert _list_state_dir(str(tmp_path / "nope"), spark) is None
+
+    f = tmp_path / "plain.txt"
+    f.write_text("x")
+    assert _list_state_dir(str(f), spark) is None
+
+    d = tmp_path / "state"
+    (d / "batch_id=0").mkdir(parents=True)
+    (d / "batch_id=3").mkdir()
+    assert sorted(_list_state_dir(str(d), spark)) == ["batch_id=0", "batch_id=3"]
+    assert sorted(_list_state_dir(f"file://{d}", spark)) == ["batch_id=0", "batch_id=3"]
+
+
+def test_bloom_snapshot_refuses_remote_manifest_scheme(spark):
+    """Bloom snapshot blobs are local-file IO by documented constraint:
+    a remote manifest scheme must raise, not silently re-bootstrap the
+    filter every batch."""
+    import pytest
+
+    from big_data_co2_emission_analysis_spark.streaming.windows import (
+        _bloom_snapshot_path,
+    )
+
+    with pytest.raises(NotImplementedError, match="local-file IO"):
+        _bloom_snapshot_path("hdfs://nn:8020/warehouse/manifest", 3)
+    # local paths (bare or file://) stay fine
+    assert _bloom_snapshot_path("/tmp/m", 3).endswith("cumulative_000000000003.bin")
+    assert "_bloom" in _bloom_snapshot_path("file:///tmp/m", 3)
