@@ -118,6 +118,7 @@ def score_docs_bigram_lm(
     alpha: float = 0.5,
     ctx_join: str = "auto",
     stream_partitions: int | None = None,
+    broadcast_max_bigrams: int = 1_000_000,
 ) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, avg_logprob, perplexity).
 
@@ -130,27 +131,38 @@ def score_docs_bigram_lm(
     int64, so the result is partitioning-independent and replayable by
     an ANSI-SQL oracle.
 
-    ``ctx_join`` gates how the per-context count table (one row per
-    distinct token -- vocabulary-sized, so fine at fixture scale but
-    10^7-10^8 rows on a web corpus, which would OOM a forced broadcast)
-    joins the bigram stream:
+    The bigram-count table is ALWAYS materialized once (``persist`` +
+    one count job) before anything consumes it.  Without that, its
+    three consumers -- the scoring join (needs v, w, c_vw), the
+    context rollup (prunes w), and the vocabulary scalar (prunes v)
+    -- prune the aggregate differently, the subtrees stop
+    canonicalizing equal, and the corpus-sized bigram explode + count
+    aggregation runs THREE times (measured at sf10: two redundant
+    ~97 MiB partial-agg exchanges in the executed plan).  The cache is
+    one row per distinct bigram -- vocabulary-bounded, never
+    corpus-bounded -- and the count it yields is reused as the
+    measured broadcast gate below.  (The cache outlives the call like
+    v4's checkpoints; callers that care sweep ``getPersistentRDDs``.)
 
-    - ``'auto'`` (default): NO hint -- AQE sizes the materialized ctx
-      exchange at runtime and broadcasts only under
-      ``autoBroadcastJoinThreshold``.  This is the size gate done with
-      measured bytes instead of a distinct-v probe job: an upfront
-      estimate would re-pay the whole bigram-count scan before the real
-      job runs (the probe-overhead trap SALTED_JOIN_BENCH quantifies),
-      while AQE decides from the exchange it has to write anyway.
-      PRECONDITION: the runtime gate exists only under
-      ``spark.sql.adaptive.enabled=true`` (Spark's default).  When the
-      session has AQE off, 'auto' degrades to the safe 'shuffle' hint
-      -- static Catalyst estimates cannot be trusted to keep a 10^8-row
-      vocabulary out of a broadcast, and a silent OOM hazard is worse
-      than a shuffle join that is merely non-optimal on small vocabs.
+    ``ctx_join`` gates how the count/context tables (one row per
+    distinct bigram/token -- vocabulary-sized, so fine at fixture
+    scale but 10^8+ rows on a web corpus, which would OOM a forced
+    broadcast) join the bigram stream:
+
+    - ``'auto'`` (default): broadcast-confirm from MEASURED cardinality
+      (the streaming-dedup envelope pattern): if the materialized count
+      table holds at most ``broadcast_max_bigrams`` rows, both it and
+      the (strictly smaller) context table broadcast -- the 27M-row
+      scoring stream then never shuffles at all (measured at sf10: the
+      stream otherwise pays a ~650 MiB exchange, because AQE sizes the
+      broadcast decision by the PRE-aggregation exchange bytes
+      (~97 MiB > threshold), not the 96k-row post-agg table, and
+      refuses).  Above the envelope it degrades to the web-corpus-safe
+      'shuffle' shape for that run -- exact same fallback contract as
+      streaming/windows.py ``broadcast_max_fps``.
     - ``'broadcast'``: force the hint (vocabulary known small).
     - ``'shuffle'``: forbid broadcast (shuffle-hash hint) -- the web-
-      corpus path; also what 'auto' degrades to above threshold.
+      corpus path; also what 'auto' degrades to above the envelope.
 
     All three are value-identical (oracle-pinned); only the physical
     join strategy differs.
@@ -212,25 +224,45 @@ def score_docs_bigram_lm(
             F.count_distinct("w").alias("v_size")
         )
     else:
-        counts, ctx, vocab = bigram_lm_counts(docs, id_col, text_col)
         big = doc_bigrams(docs, id_col, text_col)
+        # materialize the vocabulary-bounded count table ONCE (see the
+        # docstring): without the cache its three consumers prune the
+        # aggregate differently and the corpus-sized explode+agg runs
+        # three times; the forced count doubles as the broadcast gate.
+        counts = (
+            big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw")).persist()
+        )
+        n_distinct_bigrams = counts.count()
+        ctx = counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+        vocab = counts.agg(F.count_distinct("w").alias("v_size"))
+        if ctx_join == "auto":
+            # broadcast-confirm from the measured cardinality; above
+            # the envelope fall back to the web-corpus shuffle shape
+            ctx_join = (
+                "broadcast" if n_distinct_bigrams <= broadcast_max_bigrams else "shuffle"
+            )
 
     lp = F.log(
         (F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") + F.lit(alpha))
         / (F.col("c_v").cast("double") + F.lit(alpha) * F.col("v_size").cast("double"))
     )
     if ctx_join == "auto":
-        # the AQE runtime size gate is the whole point of 'auto'; with
-        # AQE off there is no gate, so degrade to the web-corpus-safe
-        # shuffle strategy instead of trusting static estimates
+        # shared-stream mode keeps the r8 contract: the forced stream
+        # exchange is the plan, AQE sizes the ctx join at runtime (and
+        # with AQE off degrade to the safe shuffle strategy)
         aqe = str(
             docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
         ).lower()
         if aqe != "true":
             ctx_join = "shuffle"
     if ctx_join == "broadcast":
+        counts = F.broadcast(counts)
         ctx = F.broadcast(ctx)
     elif ctx_join == "shuffle":
+        # shuffle_hash on the (bounded) build sides: the stream side
+        # must exchange at this scale, but it never needs SORTING for
+        # a 1:1 probe (the substring-family SHJ rationale)
+        counts = counts.hint("shuffle_hash")
         ctx = ctx.hint("shuffle_hash")
     scored = (
         big.join(counts, ["v", "w"], "left")

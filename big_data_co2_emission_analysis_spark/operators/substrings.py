@@ -134,7 +134,13 @@ def duplicated_span_stats(
     if agg_partitions is not None:
         post = post.repartition(agg_partitions, "wh")
     dup = duplicated_windows(post)
-    hits = post.join(dup, "wh").select(id_col, "pos")
+    # shuffle_hash: both sides already sit on the shared wh exchange, so
+    # a sort-merge join would SORT the corpus-sized posting stream for a
+    # 1:1 probe -- pure waste.  The hash build side is the per-partition
+    # slice of the duplicate set, bounded by the same agg_partitions
+    # sizing that keeps the posting sort state in memory (measured at
+    # sf10: ~1 s off the removed-count chain, value-identical).
+    hits = post.join(dup.hint("shuffle_hash"), "wh").select(id_col, "pos")
 
     # interval-union sweep: windows sorted by pos; each contributes
     # min(k, next_pos - pos) tokens (the last contributes k)
@@ -217,7 +223,10 @@ def removal_intervals(
         .filter(F.col("__n") >= 2)
         .select("wh", "__first")
     )
-    removals = post.join(dup_first, "wh").filter(
+    # shuffle_hash: see duplicated_span_stats -- skip the probe-side
+    # sort of the corpus-sized posting stream; build side is the
+    # per-partition duplicate slice
+    removals = post.join(dup_first.hint("shuffle_hash"), "wh").filter(
         ~(
             (F.col(id_col) == F.col(f"__first.{id_col}"))
             & (F.col("pos") == F.col("__first.pos"))
@@ -244,6 +253,69 @@ def removal_intervals(
     return swept.groupBy(id_col, "__grp").agg(
         F.min("pos").alias("start"), F.max("__end").alias("end")
     ).select(id_col, "start", "end")
+
+
+def removed_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    agg_partitions: int | None = None,
+) -> DataFrame:
+    """(id, removed): the TOTAL token count a keep-first substring-dedup
+    pass removes from each document -- exactly
+    ``removal_intervals(...).groupBy(id).agg(sum(end - start + 1))``,
+    but computed with ONE window pass instead of three.
+
+    The merged-interval total is the union size of the removal hits'
+    fixed-length [pos, pos+k-1] spans, and for same-length intervals
+    sorted by start the union size is a single ``lead()`` sweep: each
+    hit contributes ``min(k, next_pos - pos)`` tokens (the last
+    contributes ``k``) -- the ``duplicated_span_stats`` coverage trick
+    applied to the removal stream.  Callers that need the intervals
+    themselves (the rewrite) still use :func:`removal_intervals`;
+    callers that only price the cut (curated_corpus_v4's manifest)
+    skip the cummax/lag/group-sum merge entirely.  Value-identical by
+    construction (overlap -> ``next - pos``; adjacency or gap -> ``k``
+    either way), so oracles replaying the interval formulation match
+    bit-for-bit.  Documents with no removals are absent (join left and
+    coalesce at the call site, as with removal_intervals)."""
+    from pyspark.sql import Window as W
+
+    post = window_postings(docs, id_col, text_col, k)
+    if agg_partitions is not None:
+        post = post.repartition(agg_partitions, "wh")
+    dup_first = (
+        post.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("wh", "__first")
+    )
+    # shuffle_hash: see duplicated_span_stats -- skip the probe-side
+    # sort of the corpus-sized posting stream; build side is the
+    # per-partition duplicate slice
+    removals = post.join(dup_first.hint("shuffle_hash"), "wh").filter(
+        ~(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+    ).select(id_col, "pos")
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    return (
+        removals.withColumn("__next", F.lead("pos").over(w))
+        .select(
+            F.col(id_col),
+            F.when(F.col("__next").isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("__next") - F.col("pos")))
+            .alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("long").alias("removed"))
+    )
 
 
 def substring_dedup_rewrite(

@@ -2762,30 +2762,40 @@ def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import concat_split_pack
     from ..operators.quantiles import exact_quantiles
     from ..operators.sampling import temperature_mixture
-    from ..operators.substrings import removal_intervals
+    from ..operators.substrings import removed_token_counts
+    from ..plans.pinning import pinned_filter
 
     docs = _docs(spark, sf_dir)
     # ppl feeds the quantile AND the gate join; checkpoint so the
-    # bigram-LM train+score runs once (the v3 lesson, measured at sf10)
+    # bigram-LM train+score runs once (the v3 lesson, measured at sf10).
+    # n_bigrams rides along as the token-count gate: with the BOS
+    # prefix every token is some bigram's successor, so n_bigrams ==
+    # the whitespace token count exactly for every document that can
+    # pass the >= 20 gate (whitespace-only texts differ -- split
+    # yields [""] = 1 token vs no LM row -- but both fail the gate),
+    # and the corpus does NOT need a second full tokenization just to
+    # count tokens (the old `stats` projection).
     ppl = (
         score_docs_bigram_lm(docs, alpha=_LM_ALPHA)
-        .select("doc_id", "perplexity")
+        .select("doc_id", F.col("n_bigrams").alias("n_tokens"), "perplexity")
         .localCheckpoint(eager=True)
     )
+    # the quantile input is one ~16 B row per document (~1% of corpus
+    # bytes), so size its range exchange at ~1/8 of the posting-stream
+    # partitioning instead of inheriting the session default -- same
+    # work, far fewer control-plane tasks across exact_quantiles' jobs
     cut = exact_quantiles(
         ppl.select(F.lit(1).alias("k"), "perplexity"),
         "k",
         "perplexity",
         [_CURATE_PPL_Q],
+        num_partitions=max(
+            8, (_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512) or 0) // 8
+        ),
     ).select(F.col("value").alias("max_ppl"))
-    stats = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-    )
     quality = (
-        stats.join(ppl, "doc_id")
+        docs.select("doc_id", "source", "text")
+        .join(ppl, "doc_id")
         .join(F.broadcast(cut))
         .filter(
             (F.col("n_tokens") >= 20)
@@ -2793,20 +2803,33 @@ def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("perplexity") <= F.col("max_ppl"))
         )
     )
-    dd = fingerprint_dedup(quality, "text", "doc_id").select(
-        "doc_id", "source", "text"
+    # dd feeds TWO consumers (the substring posting stream and the
+    # token-count manifest below).  window_postings pushes its
+    # isnotnull(doc_id) into ITS branch and prunes `source` out of it,
+    # so without help the subtrees canonicalize differently and the
+    # whole gate+dedup chain (docs scan, ppl join, fingerprint window
+    # exchange) runs TWICE.  Carrying the same not-null filter plus a
+    # pinned `source` reference on dd itself makes every consumer's
+    # subtree identical -- Catalyst dedups the repeated predicate --
+    # and the corpus-sized dedup exchange is built once (measured at
+    # sf10: scan bytes halved 0.16 -> 0.08 GiB, shuffle write 1.05 ->
+    # 0.86 GiB, value-hash identical; the r8 substring-exchange lesson
+    # applied to the gate chain).
+    dd = (
+        fingerprint_dedup(quality, "text", "doc_id")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+        .filter(pinned_filter(["source"]))
     )
     # substring rewrite stage: only the post-cut token COUNT rides the
-    # manifest (kept = normalized tokens minus the merged removal
-    # intervals' length; intervals are disjoint after merging)
-    iv = removal_intervals(
+    # manifest (kept = normalized tokens minus the removal-interval
+    # union's size; removed_token_counts prices that union with one
+    # lead() sweep instead of materializing merged intervals)
+    removed = removed_token_counts(
         dd,
         k=_SUBSTR_K,
         agg_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
-    )
-    removed = iv.groupBy("doc_id").agg(
-        F.sum(F.col("end") - F.col("start") + 1).cast("long").alias("__rm")
-    )
+    ).withColumnRenamed("removed", "__rm")
     toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
     # checkpoint the survivor manifest: the mixture total (control
     # plane), the mixture window, and packing's internal jobs all

@@ -122,32 +122,54 @@ def test_ctx_join_strategies_agree_and_gate_the_plan(spark, sf_dir):
         score_docs_bigram_lm(docs, ctx_join="bogus")
 
 
-def test_ctx_join_auto_degrades_to_shuffle_without_aqe(spark, sf_dir):
-    """ADVICE r5: with spark.sql.adaptive.enabled=false there is no
-    runtime size gate, so 'auto' must degrade to the shuffle hint --
-    the ctx join may not plan a broadcast off static estimates (the
-    web-corpus OOM hazard the gate exists for)."""
+def test_ctx_join_auto_uses_measured_envelope(spark, sf_dir):
+    """r9 contract: 'auto' decides from the MEASURED bigram-count
+    cardinality, not an estimate.  Within ``broadcast_max_bigrams``
+    the count/ctx tables broadcast (the scoring stream never
+    shuffles); above the envelope it degrades to the web-corpus
+    shuffle shape -- same fallback contract as the streaming-dedup
+    ``broadcast_max_fps``.  This subsumes the old ADVICE-r5 AQE
+    degrade rule: an exact count is safe with AQE on OR off, and
+    unlike AQE's gate it is not fooled by pre-aggregation exchange
+    bytes (at sf10 AQE sized the counts join by the ~97 MiB partial
+    exchange instead of the 96k-row table and shuffled a ~650 MiB
+    stream; module docstring)."""
     from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+
+    # within the envelope: broadcast shape
+    small_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="auto"))
+    assert "BroadcastHashJoin" in small_plan
+
+    # above the envelope: the exact shuffle shape of ctx_join='shuffle'
+    over_plan = explain_formatted(
+        score_docs_bigram_lm(docs, ctx_join="auto", broadcast_max_bigrams=0)
+    )
+    shuffle_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="shuffle"))
+    assert "ShuffledHashJoin" in over_plan or "SortMergeJoin" in over_plan
+    assert over_plan.count("BroadcastHashJoin") == shuffle_plan.count(
+        "BroadcastHashJoin"
+    )
+
+    # the measured gate must hold with AQE OFF too (no estimate-based
+    # broadcast may sneak back in above the envelope)
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        auto_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="auto"))
-        shuffle_plan = explain_formatted(score_docs_bigram_lm(docs, ctx_join="shuffle"))
+        no_aqe_plan = explain_formatted(
+            score_docs_bigram_lm(docs, ctx_join="auto", broadcast_max_bigrams=0)
+        )
         vals = sorted(
             (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
-            for r in score_docs_bigram_lm(docs, ctx_join="auto").collect()
+            for r in score_docs_bigram_lm(
+                docs, ctx_join="auto", broadcast_max_bigrams=0
+            ).collect()
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
-    # the degraded auto plan carries the same shuffle-hinted ctx join:
-    # same broadcast count as explicit 'shuffle', and a shuffle join
-    # node exists for the hinted side
-    assert "ShuffledHashJoin" in auto_plan or "SortMergeJoin" in auto_plan
-    assert auto_plan.count("BroadcastHashJoin") == shuffle_plan.count(
-        "BroadcastHashJoin"
-    )
+    assert "ShuffledHashJoin" in no_aqe_plan or "SortMergeJoin" in no_aqe_plan
+
     want = sorted(
         (r.doc_id, r.n_bigrams, r.avg_logprob, r.perplexity)
         for r in score_docs_bigram_lm(docs, ctx_join="shuffle").collect()

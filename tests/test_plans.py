@@ -437,6 +437,11 @@ _NLJ_WHITELIST = {
     # r8: v3's 1-row P75 threshold + temperature_mixture_manifest's
     # 1-row mixture scalars, composed in one pipeline
     "curated_corpus_v4",
+    # ADC table build: eval queries (bounded query set) CROSS the PQ
+    # codebook (n_subspaces x k entries, broadcast constants) -- both
+    # sides control-plane-sized, never corpus-scale
+    "ann_pq_det_top10",
+    "ann_eval_metrics",
 }
 
 

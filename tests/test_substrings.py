@@ -155,3 +155,29 @@ def test_partition_invariance(spark, sf_dir):
         key=lambda r: r.doc_id,
     )
     assert a == b
+
+
+def test_removed_token_counts_equals_interval_sum(spark, sf_dir):
+    """removed_token_counts (one lead() sweep) must equal the
+    removal_intervals merge's per-doc sum(end - start + 1) exactly --
+    the union-size identity curated_corpus_v4 relies on."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.substrings import (
+        removal_intervals,
+        removed_token_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_intervals = {
+        r["doc_id"]: r["rm"]
+        for r in removal_intervals(docs, k=3)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("end") - F.col("start") + 1).cast("long").alias("rm"))
+        .collect()
+    }
+    via_sweep = {
+        r["doc_id"]: r["removed"] for r in removed_token_counts(docs, k=3).collect()
+    }
+    assert via_sweep == via_intervals
+    assert len(via_sweep) > 0
