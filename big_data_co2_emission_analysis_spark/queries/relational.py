@@ -29,6 +29,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _distinct_agg_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem", divisor_mib: int = 8
+) -> int:
+    """Partition count for the repartition-first exact-distinct shape
+    (see distinct_parts_per_flag): one partition per ``divisor_mib``
+    of compressed table bytes, floored at the session default --
+    filesystem metadata only, no probe job (the _jaccard_agg_partitions
+    sizing discipline, operators/dedup.py)."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if os.path.isdir(src):
+        nbytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if not f.startswith(("_", "."))
+        )
+    elif os.path.exists(src):
+        nbytes = os.path.getsize(src)
+    else:
+        return default
+    return max(default, int(nbytes // (divisor_mib * 1024 * 1024)))
+
+
 # --------------------------------------------------------------------------
 # Scan + filter + grouped aggregation (TPC-H Q1 shape; flagship query).
 # Exercises S1/P1/P2/A1/A2/T2 in one plan: parquet scan with pushed
@@ -445,14 +470,44 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
+    """Exact multi-column distinct counts, spill-free at scale.
+
+    NOT the stock ``countDistinct(a), countDistinct(b)`` form: Spark
+    plans that as Expand (3x row duplication) + a map-side partial
+    aggregate whose hash table keys on the HIGH-CARDINALITY distinct
+    columns -- at sf10 (60M rows) that partial agg finds almost
+    nothing to combine and spills 9.2 GiB while writing only 407 MiB
+    of shuffle (measured, VERDICT r8 #4).  Instead each distinct
+    column gets an explicit repartition on (flag, key) followed by a
+    co-located two-step rollup: the shuffle carries raw pairs
+    (866 MiB -- ~2x the bytes) but the aggregation happens once,
+    post-exchange, over ~rows/partitions keys per task: 0 spill and
+    ~2x faster wall (12-17 -> 5.5-8.4 s).  The partition count scales
+    with input bytes (``_distinct_agg_partitions``), the same sizing
+    discipline as the substring family's ``agg_partitions``."""
+    n = _distinct_agg_partitions(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        li.select("l_returnflag", "l_partkey")
+        .repartition(n, "l_returnflag", "l_partkey")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.count("*").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("_c").alias("n_lines"),
         )
+    )
+    supps = (
+        li.select("l_returnflag", "l_suppkey")
+        .repartition(n, "l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_supps"))
+    )
+    return (
+        parts.join(supps, "l_returnflag")
+        .select("l_returnflag", "n_parts", "n_supps", "n_lines")
         .orderBy("l_returnflag")
     )
 
