@@ -282,10 +282,16 @@ def _banded_postings(
     num_hashes: int,
     num_bands: int,
     shingle_n: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared front half of banded MinHash: returns (base, banded) where
-    base is the persisted (id, __sh shingle-set) frame and banded has
-    one (id, sig, band, bucket) posting per doc per band."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of banded MinHash: returns (base, signed,
+    banded) where base is the LAZY (id, __sh shingle-set) frame,
+    signed is the persisted (id, sig) signature table, and banded has
+    one SLIM (id, band, bucket) posting per doc per band -- the
+    signature does NOT ride the bucket exchange (pre-r9 it did, 8
+    copies of every 256 B signature: 805 MiB of bucket shuffle at sf10
+    vs ~100 MiB slim; consumers join ``signed`` back per unique
+    candidate pair instead, which also computes each pair's
+    est_jaccard once rather than once per colliding band)."""
     import random
 
     rng = random.Random(42)
@@ -302,13 +308,16 @@ def _banded_postings(
 
     from pyspark import StorageLevel
 
-    base = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        # consumed 3x (signatures + both sides of the verification
-        # join); persist once instead of re-shingling per consumer
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # NOT persisted (r9): the shingle-set cache write was the
+    # operator's single most expensive stage at sf10 (~270 executor-s
+    # building a columnar cache of ~25M strings, zero shuffle), and
+    # the verification join only ever needs the CANDIDATE docs'
+    # shingles -- minhash_banded_pairs now semi-join-prunes the corpus
+    # to candidate ids and re-shingles just those (~candidates, not
+    # rows).  The signature chain streams through this frame once.
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
     hashed = base.select("id", F.explode("__sh").alias("__s")).select(
         "id", F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF).cast("long")).alias("__h")
     )
@@ -327,11 +336,16 @@ def _banded_postings(
         affine.groupBy("id")
         .agg(*[F.min(f"__v{i}").alias(f"__m{i}") for i in range(num_hashes)])
         .select("id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
+        # consumed by the bucket stream AND both sides of the
+        # est-jaccard join; persist once instead of re-running the
+        # explode + k-way min aggregation per consumer (~140 MB at
+        # sf10 -- signature-table-sized, linear in docs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # one row per (doc, band): bucket key = hash of the band's slice
+    # one SLIM row per (doc, band): bucket key = hash of the band's
+    # slice; the signature itself stays in `signed`
     banded = signed.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -340,8 +354,8 @@ def _banded_postings(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return base, banded
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return base, signed, banded
 
 
 def minhash_banded_bucket_stats(
@@ -360,7 +374,7 @@ def minhash_banded_bucket_stats(
     pipeline) to see how much the ``max_bucket_size`` cap is dropping;
     a nonzero skipped count on a real corpus means boilerplate-heavy
     data that should be fingerprint-deduped first."""
-    _, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
+    _, _, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
     cap = F.lit(max_bucket_size if max_bucket_size is not None else (1 << 62))
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     return sizes.agg(
@@ -427,55 +441,92 @@ def minhash_banded_pairs(
     whole hot loop runs in whole-stage codegen (11x faster than the
     nested-transform formulation at sf0.1).
     """
-    base, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
+    base, signed, banded = _banded_postings(
+        df, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
 
     grouped = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("docs"))
+        .agg(F.collect_list("id").alias("docs"))
         .filter(F.size("docs") > 1)
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("docs") <= max_bucket_size)
+    # ordered candidate ids only -- a pair colliding in p bands is
+    # emitted p times and deduped here, BEFORE any signature work, so
+    # est_jaccard is computed once per unique pair (pre-r9 it was
+    # computed per collision inside the bucket explode, and the full
+    # signature rode every bucket posting)
     pairs = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "docs",
                     lambda x: F.transform(
-                        F.filter("docs", lambda y: y["id"] > x["id"]),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            (
-                                F.aggregate(
-                                    F.zip_with(
-                                        x["sig"],
-                                        y["sig"],
-                                        lambda a, b: F.when(a == b, 1).otherwise(0),
-                                    ),
-                                    F.lit(0),
-                                    lambda acc, v: acc + v,
-                                ).cast("double")
-                                / num_hashes
-                            ).alias("est_jaccard"),
-                        ),
+                        F.filter("docs", lambda y: y > x),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.*")
+    ).select("p.*").distinct()
     stderr = 1.0 / (num_hashes ** 0.5)
-    cand = (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= max(0.0, min_jaccard - 3 * stderr))
+    sig_a = signed.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
+    sig_b = signed.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("__sig_a"),
+                F.col("__sig_b"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_hashes
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # shuffle_hash on the candidate side: the pair set is the small
+    # side of every join in this chain and never needs the big side
+    # (the signature table) SORTED for a 1:1 probe
+    from pyspark import StorageLevel
+
+    cand = (
+        pairs.hint("shuffle_hash")
+        .join(sig_a, "id_a")
+        .hint("shuffle_hash")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= max(0.0, min_jaccard - 3 * stderr))
+        # consumed 3x below (the id-spine for pruning + the final
+        # join); candidate-pair-sized, bounded by the banding + the
+        # est prefilter
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # exact verification touches only CANDIDATE docs: semi-join-prune
+    # the corpus to the candidate id spine and shingle just those
+    # (candidate-sized, not corpus-sized -- the r9 change that
+    # removed the corpus-wide shingle-set cache).  AQE broadcasts the
+    # spine when it is small and degrades to a shuffle when a
+    # degenerate corpus makes it large -- no static-size bet.
+    ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    )
+    sh = (
+        df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("__sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
     return (
-        cand.join(sh_a, "id_a")
+        cand.hint("shuffle_hash")
+        .join(sh_a, "id_a")
+        .hint("shuffle_hash")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", "est_jaccard", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
