@@ -92,8 +92,8 @@ def test_unseen_bigram_gets_smoothed_floor(spark):
 def test_ctx_join_strategies_agree_and_gate_the_plan(spark, sf_dir):
     """The vocabulary-sized ctx table must not be force-broadcast
     (VERDICT r4 #4): 'shuffle' forbids broadcast, 'broadcast' forces
-    it, 'auto' carries no hint (AQE decides from the runtime exchange
-    size) -- and all three produce identical values."""
+    it, 'auto' decides from the measured count-table cardinality (r9)
+    -- and all three produce identical values."""
     from big_data_co2_emission_analysis_spark.plans.inspect import explain_formatted
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
@@ -202,3 +202,19 @@ def test_stream_partitions_value_identical_and_shares_exchange(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "Reused" in final, final[:4000]
     assert len(re.findall(r"Scan parquet", final)) == 1, final[:4000]
+
+
+def test_auto_broadcast_keeps_stream_unshuffled_and_counts_cached(spark, sf_dir):
+    """The r9 structural contract: within the broadcast envelope the
+    27M-row scoring stream must NOT hash-exchange on (v, w) (at sf10
+    that exchange was ~650 MiB), and the count table must be served
+    from the cache (one explode+agg materialization, not three)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    df = score_docs_bigram_lm(docs, ctx_join="auto")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "count table not served from cache"
+    assert "hashpartitioning(v#" not in plan and "hashpartitioning(w#" not in plan, (
+        "the bigram scoring stream is being shuffled inside the broadcast envelope"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # counts join + ctx join
