@@ -140,6 +140,11 @@ HEADLINE = [
     # temperature mixture -> packing)
     "hybrid_eval_metrics",
     "curated_corpus_v4",
+    # round-9 additions: the deterministic-quantizer PQ search (the
+    # value-verified twin of the rows-only numpy-PQ path) and the TREC
+    # harness scoring exact vs IVF-det vs PQ-det retrieval side by side
+    "ann_pq_det_top10",
+    "ann_eval_metrics",
 ]
 
 
