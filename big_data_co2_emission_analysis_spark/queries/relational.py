@@ -31,12 +31,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _distinct_agg_partitions(
     spark: SparkSession, sf_dir: str, table: str = "lineitem", divisor_mib: int = 8
-) -> int:
+) -> int | None:
     """Partition count for the repartition-first exact-distinct shape
     (see distinct_parts_per_flag): one partition per ``divisor_mib``
-    of compressed table bytes, floored at the session default --
-    filesystem metadata only, no probe job (the _jaccard_agg_partitions
-    sizing discipline, operators/dedup.py)."""
+    of compressed table bytes -- filesystem metadata only, no probe
+    job (the _jaccard_agg_partitions sizing discipline,
+    operators/dedup.py).  Returns None at or under the session
+    default: small inputs keep the stock Expand multi-distinct plan,
+    whose one-scan/one-pass shape wins while the distinct-key hash
+    state still fits task memory (measured at sf0.1: stock 0.6 s vs
+    1.1 s repartition-first; the crossover is where the partial agg
+    starts spilling)."""
     import os
 
     src = os.path.join(sf_dir, f"{table}.parquet")
@@ -50,8 +55,9 @@ def _distinct_agg_partitions(
     elif os.path.exists(src):
         nbytes = os.path.getsize(src)
     else:
-        return default
-    return max(default, int(nbytes // (divisor_mib * 1024 * 1024)))
+        return None
+    n = int(nbytes // (divisor_mib * 1024 * 1024))
+    return n if n > default else None
 
 
 # --------------------------------------------------------------------------
@@ -484,9 +490,21 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-exchange, over ~rows/partitions keys per task: 0 spill and
     ~2x faster wall (12-17 -> 5.5-8.4 s).  The partition count scales
     with input bytes (``_distinct_agg_partitions``), the same sizing
-    discipline as the substring family's ``agg_partitions``."""
+    discipline as the substring family's ``agg_partitions`` -- and
+    like that family, ``None`` (small input) keeps the stock plan,
+    which wins while the distinct-key state fits task memory."""
     n = _distinct_agg_partitions(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
+    if n is None:
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("n_parts"),
+                F.countDistinct("l_suppkey").alias("n_supps"),
+                F.count("*").alias("n_lines"),
+            )
+            .orderBy("l_returnflag")
+        )
     parts = (
         li.select("l_returnflag", "l_partkey")
         .repartition(n, "l_returnflag", "l_partkey")
