@@ -206,11 +206,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q21's EXISTS / NOT EXISTS pattern adapted to the fixture schema
 # (no l_receiptdate/l_commitdate; "late" := shipped > 75 days after the
 # order date).  A waiting supplier is the ONLY late shipper in a
-# multi-supplier finished order.  The two correlated subqueries become a
-# left-semi and a left-anti self-join on the flagged fact -- both hash
-# on l_orderkey (the natural shuffle key), the supplier dim broadcasts,
-# so at 100 TB this is two co-partitioned shuffles plus a map-side dim
-# lookup, never an all-pairs comparison.
+# multi-supplier finished order.
+#
+# r9 shape: the two correlated subqueries DE-CORRELATE into one
+# per-order supplier rollup -- for a late line by supplier s on order
+# o, EXISTS(other supplier) == n_supps >= 2 and NOT EXISTS(other LATE
+# supplier) == n_late_supps == 1 (s itself is late) -- so the flagged
+# fact is aggregated once and equi-joined back on l_orderkey instead
+# of feeding a left-semi AND a left-anti self-join.  The prior
+# three-sided self-join merged into one SMJ stage that read 2.9 GiB of
+# shuffle and spilled 9.2 GiB at sf10 (32-partition sort state); the
+# rollup + a byte-sized repartition of the orders join runs spill-FREE
+# at the same scale, values bit-identical (oracle + A/B hash).  The
+# supplier dim still broadcasts; everything keys on l_orderkey.
 @register(
     "q21_waiting_suppliers",
     oracle="""
@@ -236,45 +244,42 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s.s_name
     LIMIT 20
     """,
-    tags=("join", "semi", "anti", "tpch"),
+    tags=("join", "agg", "tpch"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _distinct_agg_partitions
+
+    n = _distinct_agg_partitions(spark, sf_dir)
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    flagged = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 75)).alias("late"),
-        )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    if n is not None:
+        # size the fact join's exchanges for the corpus: at the session
+        # default the SMJ sort state is what spilled 9.2 GiB (see the
+        # shape comment); partitioning both sides on the order key also
+        # lets the downstream per-order rollup run exchange-free
+        orders = orders.repartition(n, "o_orderkey")
+        li = li.repartition(n, "l_orderkey")
+    flagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 75)).alias("late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("n_late_supps"),
     )
     base = flagged.filter("late").select("l_orderkey", "l_suppkey")
-    other = flagged.select(
-        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
-    )
-    other_late = flagged.filter("late").select(
-        F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
-    )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     waiting = (
-        base.join(
-            other,
-            (F.col("l_orderkey") == F.col("o_okey"))
-            & (F.col("l_suppkey") != F.col("o_skey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("a_okey"))
-            & (F.col("l_suppkey") != F.col("a_skey")),
-            "left_anti",
-        )
+        base.join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
