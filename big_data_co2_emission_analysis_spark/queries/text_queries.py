@@ -2412,6 +2412,62 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "substring_removed_counts",
+    oracle=f"""
+    WITH
+    {_SUBSTR_CTES},
+    first_occ AS (
+      SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+        SELECT w.wh, w.doc_id, w.pos,
+               ROW_NUMBER() OVER (PARTITION BY w.wh ORDER BY w.doc_id, w.pos) AS rn
+        FROM win w JOIN dup USING (wh)
+      ) WHERE rn = 1
+    ),
+    removals AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN first_occ f USING (wh)
+      WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)
+    ),
+    swept AS (
+      SELECT doc_id, pos, pos + {_SUBSTR_K - 1} AS e,
+             MAX(pos + {_SUBSTR_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cm
+      FROM removals
+    ),
+    grp AS (
+      SELECT doc_id, pos, e,
+             SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos, e,
+                   LAG(cm) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+            FROM swept)
+    ),
+    merged AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g)
+    SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed
+    FROM merged GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "substring"),
+)
+def substring_removed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REMOVED-token totals of the keep-first substring
+    dedup pass -- the manifest-pricing operator curated_corpus_v4 uses
+    (operators/substrings.removed_token_counts): the interval union is
+    priced with ONE lead() sweep instead of materializing merged
+    intervals.  The oracle deliberately replays the INTERVAL
+    formulation (merge sweep -> SUM(e - s + 1)), so a green row
+    certifies the sweep/merge union-size identity in SQL, not just in
+    the unit test."""
+    from ..operators.substrings import removed_token_counts
+
+    return removed_token_counts(
+        _docs(spark, sf_dir),
+        k=_SUBSTR_K,
+        agg_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Flagship curation pipeline v2: FOUR stages composed -- token-count
 # quality gate -> bigram-LM perplexity filter (<= 31.0; a production
