@@ -46,10 +46,30 @@ SHOWCASE = [
     ),
     (
         "minhash_banded_near_dups",
-        "Banded MinHash: the k=32 signature mins are plain aggregate "
-        "columns inside whole-stage codegen (no interpreted higher-order "
-        "lambdas in the per-shingle hot loop); candidate pairs expand "
-        "map-side from bucket groups.",
+        "Banded MinHash (r9 shape): the k=32 signature mins are plain "
+        "aggregate columns inside whole-stage codegen; bucket postings "
+        "carry (id, band, bucket) ONLY -- the 256 B signature never "
+        "rides the bucket exchange -- and candidate pairs dedupe "
+        "before ONE est-jaccard join against the persisted signature "
+        "table; exact verification semi-join-prunes the corpus to the "
+        "candidate id spine and re-shingles just those docs (no "
+        "corpus-wide cache).",
+    ),
+    (
+        "distinct_parts_per_flag",
+        "Exact multi-column distinct (r9 shape): raw (flag, key) pairs "
+        "repartition per distinct column and aggregate once "
+        "post-exchange -- no Expand, no map-side partial agg keyed on "
+        "the near-unique distinct columns (the stock plan's 9.2 GiB "
+        "spill at sf10); the two rollups join on the 3-row flag key.",
+    ),
+    (
+        "q21_waiting_suppliers",
+        "Q21 de-correlated (r9 shape): the EXISTS / NOT EXISTS pair is "
+        "one per-order supplier rollup (n_supps, n_late_supps) "
+        "equi-joined back on l_orderkey -- no left-semi/left-anti "
+        "self-joins, no three-sided SMJ stage; the supplier dim "
+        "broadcasts; fact-join exchanges byte-sized at scale.",
     ),
     (
         "scd2_customer_order_history",
@@ -146,11 +166,14 @@ SHOWCASE = [
     ),
     (
         "doc_lm_scores",
-        "Bigram LM scoring: pair construction is slice+zip+explode in "
-        "the scan stage (no window, no self-join); ONE shuffle builds "
-        "the vocabulary-bounded count table and ONE joins the bigram "
-        "stream back to it; context totals and the vocab scalar "
-        "broadcast; per-doc sums are fixed-point longs in codegen.",
+        "Bigram LM scoring (r9 shape): pair construction is "
+        "slice+zip+explode in the scan stage (no window, no self-join); "
+        "the vocabulary-bounded count table materializes ONCE (persist "
+        "+ the count that doubles as the measured broadcast gate) and "
+        "serves all three consumers from cache; within the envelope "
+        "counts AND context totals broadcast, so the corpus-sized "
+        "bigram stream never shuffles; per-doc sums are fixed-point "
+        "longs in codegen.",
     ),
     (
         "incremental_shard_dedup",
