@@ -397,6 +397,7 @@ def minhash_banded_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.3,
     max_bucket_size: int | None = 256,
+    prune_verify: bool = True,
 ) -> DataFrame:
     """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
     values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
@@ -440,6 +441,18 @@ def minhash_banded_pairs(
     range under ANSI mode) become k plain aggregate columns, so the
     whole hot loop runs in whole-stage codegen (11x faster than the
     nested-transform formulation at sf0.1).
+
+    ``prune_verify`` (r9) picks how exact verification gets its
+    shingle sets.  True (the scale default): semi-join-prune the
+    corpus to the candidate id spine and re-shingle just those docs
+    -- candidate-sized work, no corpus-wide shingle cache (at sf10
+    the cache build was the operator's costliest stage, ~270
+    executor-s).  False (small corpora): persist the corpus shingle
+    frame once and join it directly -- the prune chain's ~8 extra
+    small stages cost more than a tiny cache (measured: sf0.1 3.0 vs
+    4.8 s, sf1 5.3 vs 7.3 s, crossover between sf1 and sf10).
+    Registry callers gate it on the same byte sizing as
+    ``agg_partitions`` elsewhere; values are identical either way.
     """
     base, signed, banded = _banded_postings(
         df, id_col, text_col, num_hashes, num_bands, shingle_n
@@ -502,23 +515,29 @@ def minhash_banded_pairs(
         # est prefilter
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # exact verification touches only CANDIDATE docs: semi-join-prune
-    # the corpus to the candidate id spine and shingle just those
-    # (candidate-sized, not corpus-sized -- the r9 change that
-    # removed the corpus-wide shingle-set cache).  AQE broadcasts the
-    # spine when it is small and degrades to a shuffle when a
-    # degenerate corpus makes it large -- no static-size bet.
-    ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    )
-    sh = (
-        df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
-        .select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, shingle_n).alias("__sh"),
+    if prune_verify:
+        # exact verification touches only CANDIDATE docs:
+        # semi-join-prune the corpus to the candidate id spine and
+        # shingle just those (candidate-sized, not corpus-sized -- the
+        # r9 change that removed the corpus-wide shingle-set cache).
+        # AQE broadcasts the spine when it is small and degrades to a
+        # shuffle when a degenerate corpus makes it large -- no
+        # static-size bet.
+        ids = (
+            cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        sh = (
+            df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
+            .select(
+                F.col(id_col).alias("id"),
+                word_shingles(text_col, shingle_n).alias("__sh"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        # small corpus: a corpus-wide shingle cache is trivial and the
+        # prune chain's extra stages would dominate (docstring numbers)
+        sh = base.persist(StorageLevel.MEMORY_AND_DISK)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))

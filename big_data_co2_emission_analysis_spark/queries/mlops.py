@@ -259,9 +259,16 @@ def minhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Random(42) affine constants, banding, exact-Jaccard), precomputed
     per corpus and matched bit-exact on est_jaccard AND jaccard."""
     from ..operators.dedup import minhash_banded_pairs
+    from .text_queries import _jaccard_agg_partitions
 
     docs = read_documents(spark, sf_dir)
-    return minhash_banded_pairs(docs, "doc_id", "text", min_jaccard=0.3)
+    # candidate-pruned verification only when the corpus is big enough
+    # that a corpus-wide shingle cache hurts (same byte gate as the
+    # substring/Jaccard families; see the operator docstring's A/B)
+    prune = _jaccard_agg_partitions(spark, sf_dir, divisor_kib=512) is not None
+    return minhash_banded_pairs(
+        docs, "doc_id", "text", min_jaccard=0.3, prune_verify=prune
+    )
 
 
 #: expected tables for the hash-based text queries: pure functions of
