@@ -230,16 +230,45 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 shape at scale: lineitem pre-aggregates per order BEFORE the
+    join, so (a) the countDistinct(o_orderkey) disappears -- each order
+    surfaces exactly once, so n_orders is a plain count and the Expand
+    + near-unique-key partial agg (2.25 GiB spill at sf10) never
+    exists -- and (b) the orders join probes one row per order instead
+    of one per line.  The per-order revenue sums quantized fx units
+    (longs), so the two-level sum equals dsum's single-level sum
+    exactly (associative by construction).  Small inputs keep the
+    stock one-pass join+agg (None-means-stock gate)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = _distinct_agg_partitions(spark, sf_dir)
+    if n is None:
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                dsum(revenue).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+    per_order = (
+        li.select("l_orderkey", fx(revenue).alias("__rfx"))
+        .repartition(n, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__nl"), F.sum("__rfx").alias("__r"))
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.select("o_orderkey", "o_orderpriority")
+        .repartition(n, "o_orderkey")
+        .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(revenue).alias("revenue"),
+            F.sum("__nl").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_orders"),
+            unfx(F.sum("__r")).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -409,7 +438,16 @@ def running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem")
+    # size the window's exchange for the corpus: at the session default
+    # each task sorts rows/32 (1.9M rows -> 2.75 GiB spilled at sf10);
+    # an explicit supplier-keyed repartition satisfies the window's
+    # required distribution (no second exchange) with per-task sort
+    # state that fits memory.  None-means-stock at small inputs.
+    n = _distinct_agg_partitions(spark, sf_dir)
+    if n is not None:
+        li = li.repartition(n, "l_suppkey")
+    return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
