@@ -727,16 +727,44 @@ def brand_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query semantics, so the DuckDB oracle runs the same join on the raw
 # views and the CORRECTNESS row is a real value check.
 # --------------------------------------------------------------------------
-def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, num_buckets: int = 16) -> tuple[str, str]:
+def ensure_bucketed_tables(
+    spark: SparkSession, sf_dir: str, num_buckets: int | None = None
+) -> tuple[str, str]:
     """Create per-scale-factor bucketed copies of orders/lineitem once
-    (idempotent); returns the two table names."""
+    (idempotent); returns the two table names.
+
+    ``num_buckets`` defaults to a byte-sized count (one bucket per
+    ~8 MiB of compressed lineitem, floored at 16): a FIXED 16 meant
+    3.75M-row per-bucket sorts at sf10 and 1 GiB of spill in the
+    "exchange-free" join this table exists to showcase.  The count is
+    part of the table name, so a session that re-derives a different
+    count builds a fresh layout instead of silently reusing a stale
+    one."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     from ..sources.writers import write_bucketed
 
+    if num_buckets is None:
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        try:
+            nbytes = (
+                sum(
+                    os.path.getsize(os.path.join(src, f))
+                    for f in os.listdir(src)
+                    if not f.startswith(("_", "."))
+                )
+                if os.path.isdir(src)
+                else os.path.getsize(src)
+            )
+        except OSError:
+            nbytes = 0
+        num_buckets = max(16, int(nbytes // (8 * 1024 * 1024)))
+
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
-    ot, lt = f"orders_bkt_{sf_name}", f"lineitem_bkt_{sf_name}"
+    ot = f"orders_bkt_{sf_name}_{num_buckets}"
+    lt = f"lineitem_bkt_{sf_name}_{num_buckets}"
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
 
     def _ensure(name: str, src: str, key: str) -> None:
@@ -769,7 +797,8 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, num_buckets: int = 
 def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders x lineitem revenue by priority over BUCKETED tables: the
     orderkey join itself is exchange-free (both sides pre-hashed and
-    pre-sorted into the same 16 buckets); only the tiny 5-row priority
+    pre-sorted into the same byte-sized bucket count); only the tiny
+    5-row priority
     aggregate shuffles."""
     ot, lt = ensure_bucketed_tables(spark, sf_dir)
     orders = spark.table(ot)
