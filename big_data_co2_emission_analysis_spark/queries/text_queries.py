@@ -2696,7 +2696,13 @@ _CURATE_V4_T = 2.0
     ),
     stats AS (
       SELECT doc_id, source, text,
-             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n,
+             -- NON-EMPTY tokens only: the Spark side gates on the LM's
+             -- n_bigrams, which (BOS prefix) equals the count of
+             -- non-empty whitespace tokens -- a raw split count would
+             -- disagree on docs with leading/trailing tabs/newlines
+             -- near the 20/2000 boundary (TRIM strips spaces only)
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n,
              MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
       FROM documents
     ),

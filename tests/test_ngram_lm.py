@@ -218,3 +218,44 @@ def test_auto_broadcast_keeps_stream_unshuffled_and_counts_cached(spark, sf_dir)
         "the bigram scoring stream is being shuffled inside the broadcast envelope"
     )
     assert plan.count("BroadcastHashJoin") >= 2  # counts join + ctx join
+
+
+def test_n_bigrams_counts_nonempty_tokens_on_whitespace_edges(spark):
+    """The curated_corpus_v4 token gate rides the LM's n_bigrams, so
+    n_bigrams must equal the count of NON-EMPTY whitespace tokens even
+    for docs with leading/trailing tabs/newlines (the r9 ADVICE finding:
+    a raw STRING_SPLIT_REGEX(TRIM(text)) count includes the empty
+    fragment such edges produce -- TRIM strips spaces only -- and would
+    flip gate decisions on 20/2000-boundary docs).  Pins BOTH sides:
+    Spark n_bigrams == DuckDB LIST_FILTER non-empty count, and the raw
+    split count genuinely differs on these fixtures (i.e. the test
+    would catch a regression to the old oracle expression)."""
+    import duckdb
+
+    texts = [
+        (1, "\t" + " ".join(f"w{i}" for i in range(19))),        # 19 real + 1 empty
+        (2, " ".join(f"w{i}" for i in range(20)) + "\n"),        # 20 real + 1 empty
+        (3, "a\t\tb\nc"),                                        # internal runs: 3
+        (4, " ".join(f"w{i}" for i in range(25))),               # clean: 25
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.n_bigrams for r in score_docs_bigram_lm(docs).collect()}
+
+    con = duckdb.connect()
+    oracle = {
+        doc_id: (n_filtered, n_raw)
+        for doc_id, n_filtered, n_raw in con.execute(
+            r"""
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                                   t -> t <> '')) AS n_filtered,
+                   LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_raw
+            FROM (SELECT UNNEST($rows, recursive := true))
+            """,
+            {"rows": [{"doc_id": d, "text": t} for d, t in texts]},
+        ).fetchall()
+    }
+    assert {d: n for d, (n, _) in oracle.items()} == got == {1: 19, 2: 20, 3: 3, 4: 25}
+    # the raw count must actually diverge on the edge docs, or this
+    # test would not guard the oracle expression
+    assert oracle[1][1] == 20 and oracle[2][1] == 21
