@@ -27,6 +27,22 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import CacheRegistry
+
+#: frames persisted by the minhash family (signatures, candidate pairs,
+#: verification shingles) -- lazily materialized by the CALLER's action,
+#: so the builders cannot unpersist them; sweep between invocations
+#: with :func:`release_minhash_caches` (see operators/_cache.py)
+_MINHASH_CACHES = CacheRegistry()
+
+
+def release_minhash_caches() -> int:
+    """Unpersist every cache the minhash builders registered in this
+    session; returns the count released.  Call between invocations in
+    long sessions (oracle sweeps, bench loops) -- results already
+    collected are unaffected, and a re-read just recomputes lineage."""
+    return _MINHASH_CACHES.release()
+
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal -- ``dropDuplicates`` (hash shuffle on the
@@ -282,6 +298,7 @@ def _banded_postings(
     num_hashes: int,
     num_bands: int,
     shingle_n: int,
+    persist_signed: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared front half of banded MinHash: returns (base, signed,
     banded) where base is the LAZY (id, __sh shingle-set) frame,
@@ -291,7 +308,11 @@ def _banded_postings(
     copies of every 256 B signature: 805 MiB of bucket shuffle at sf10
     vs ~100 MiB slim; consumers join ``signed`` back per unique
     candidate pair instead, which also computes each pair's
-    est_jaccard once rather than once per colliding band)."""
+    est_jaccard once rather than once per colliding band).
+
+    ``persist_signed=False`` skips the signature persist+registry entry
+    for callers that consume only ``banded`` (bucket_stats) -- the
+    cache write would be pure cost there (r9 ADVICE)."""
     import random
 
     rng = random.Random(42)
@@ -332,16 +353,16 @@ def _banded_postings(
         ],
     )
     r = num_hashes // num_bands
-    signed = (
-        affine.groupBy("id")
-        .agg(*[F.min(f"__v{i}").alias(f"__m{i}") for i in range(num_hashes)])
-        .select("id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
+    signed = affine.groupBy("id").agg(
+        *[F.min(f"__v{i}").alias(f"__m{i}") for i in range(num_hashes)]
+    ).select("id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
+    if persist_signed:
         # consumed by the bucket stream AND both sides of the
         # est-jaccard join; persist once instead of re-running the
         # explode + k-way min aggregation per consumer (~140 MB at
-        # sf10 -- signature-table-sized, linear in docs)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        # sf10 -- signature-table-sized, linear in docs); registered
+        # for release_minhash_caches
+        signed = _MINHASH_CACHES.track(signed.persist(StorageLevel.MEMORY_AND_DISK))
     # one SLIM row per (doc, band): bucket key = hash of the band's
     # slice; the signature itself stays in `signed`
     banded = signed.select(
@@ -374,7 +395,11 @@ def minhash_banded_bucket_stats(
     pipeline) to see how much the ``max_bucket_size`` cap is dropping;
     a nonzero skipped count on a real corpus means boilerplate-heavy
     data that should be fingerprint-deduped first."""
-    _, _, banded = _banded_postings(df, id_col, text_col, num_hashes, num_bands, shingle_n)
+    # persist_signed=False: this path consumes only the slim postings,
+    # so the signature cache write would be paid and never read
+    _, _, banded = _banded_postings(
+        df, id_col, text_col, num_hashes, num_bands, shingle_n, persist_signed=False
+    )
     cap = F.lit(max_bucket_size if max_bucket_size is not None else (1 << 62))
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     return sizes.agg(
@@ -503,7 +528,7 @@ def minhash_banded_pairs(
     # (the signature table) SORTED for a 1:1 probe
     from pyspark import StorageLevel
 
-    cand = (
+    cand = _MINHASH_CACHES.track(
         pairs.hint("shuffle_hash")
         .join(sig_a, "id_a")
         .hint("shuffle_hash")
@@ -526,7 +551,7 @@ def minhash_banded_pairs(
         ids = (
             cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         )
-        sh = (
+        sh = _MINHASH_CACHES.track(
             df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
             .select(
                 F.col(id_col).alias("id"),
@@ -537,7 +562,7 @@ def minhash_banded_pairs(
     else:
         # small corpus: a corpus-wide shingle cache is trivial and the
         # prune chain's extra stages would dominate (docstring numbers)
-        sh = base.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _MINHASH_CACHES.track(base.persist(StorageLevel.MEMORY_AND_DISK))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))

@@ -47,6 +47,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..queries._exact import fx, unfx
+from ._cache import CacheRegistry
+
+#: count tables persisted by score_docs_bigram_lm (vocabulary-bounded);
+#: sweep between invocations with :func:`release_lm_caches`
+_LM_CACHES = CacheRegistry()
+
+
+def release_lm_caches() -> int:
+    """Unpersist every bigram-count cache this module registered in the
+    session; returns the count released (operators/_cache.py contract)."""
+    return _LM_CACHES.release()
 
 #: beginning-of-sentence marker.  KNOWN CONFLATION: a document whose
 #: text contains a literal whitespace-delimited '<s>' token merges it
@@ -119,6 +130,7 @@ def score_docs_bigram_lm(
     ctx_join: str = "auto",
     stream_partitions: int | None = None,
     broadcast_max_bigrams: int = 1_000_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, avg_logprob, perplexity).
 
@@ -141,8 +153,10 @@ def score_docs_bigram_lm(
     ~97 MiB partial-agg exchanges in the executed plan).  The cache is
     one row per distinct bigram -- vocabulary-bounded, never
     corpus-bounded -- and the count it yields is reused as the
-    measured broadcast gate below.  (The cache outlives the call like
-    v4's checkpoints; callers that care sweep ``getPersistentRDDs``.)
+    measured broadcast gate below.  (The cache outlives the call --
+    the returned frame is lazy -- so it is registered for
+    :func:`release_lm_caches`; sweep between invocations in long
+    sessions.)
 
     ``ctx_join`` gates how the count/context tables (one row per
     distinct bigram/token -- vocabulary-sized, so fine at fixture
@@ -150,9 +164,15 @@ def score_docs_bigram_lm(
     broadcast) join the bigram stream:
 
     - ``'auto'`` (default): broadcast-confirm from MEASURED cardinality
-      (the streaming-dedup envelope pattern): if the materialized count
-      table holds at most ``broadcast_max_bigrams`` rows, both it and
-      the (strictly smaller) context table broadcast -- the 27M-row
+      AND measured bytes (the streaming-dedup envelope pattern): if the
+      materialized count table holds at most ``broadcast_max_bigrams``
+      rows AND its estimated in-memory size (measured key octets +
+      ~48 B/row of UTF8String/long/hash-entry overhead, summed in the
+      same job that forces the cache) is at most ``broadcast_max_bytes``
+      (default 64 MiB -- a forced broadcast replicates to every executor
+      plus the driver, so a row-only gate would let 1M long-token
+      bigrams ship hundreds of MB), both it and the (strictly smaller)
+      context table broadcast -- the 27M-row
       scoring stream then never shuffles at all (measured at sf10: the
       stream otherwise pays a ~650 MiB exchange, because AQE sizes the
       broadcast decision by the PRE-aggregation exchange bytes
@@ -229,17 +249,29 @@ def score_docs_bigram_lm(
         # docstring): without the cache its three consumers prune the
         # aggregate differently and the corpus-sized explode+agg runs
         # three times; the forced count doubles as the broadcast gate.
-        counts = (
+        counts = _LM_CACHES.track(
             big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw")).persist()
         )
-        n_distinct_bigrams = counts.count()
+        # one job forces the cache AND measures the envelope: row count
+        # plus actual key octets (the byte gate -- row count alone says
+        # nothing about 1M bigrams of long tokens)
+        _n, _key_octets = counts.agg(
+            F.count(F.lit(1)), F.sum(F.octet_length("v") + F.octet_length("w"))
+        ).head()
+        n_distinct_bigrams = _n
+        est_bytes = (_key_octets or 0) + 48 * n_distinct_bigrams
         ctx = counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
         vocab = counts.agg(F.count_distinct("w").alias("v_size"))
         if ctx_join == "auto":
-            # broadcast-confirm from the measured cardinality; above
-            # the envelope fall back to the web-corpus shuffle shape
+            # broadcast-confirm from the measured cardinality AND bytes;
+            # above either envelope fall back to the web-corpus shuffle
+            # shape (a forced broadcast bypasses
+            # autoBroadcastJoinThreshold, so IT must carry the safety)
             ctx_join = (
-                "broadcast" if n_distinct_bigrams <= broadcast_max_bigrams else "shuffle"
+                "broadcast"
+                if n_distinct_bigrams <= broadcast_max_bigrams
+                and est_bytes <= broadcast_max_bytes
+                else "shuffle"
             )
 
     lp = F.log(

@@ -543,6 +543,18 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("l_returnflag")
         )
+    return _distinct_per_flag_repartitioned(li, n)
+
+
+def _distinct_per_flag_repartitioned(li: DataFrame, n: int) -> DataFrame:
+    """The scale branch of ``distinct_parts_per_flag``, extracted so
+    NULL-key semantics are unit-testable on synthetic data (the byte
+    gate keeps fixture-scale oracles on the stock plan).  The outer
+    rollups count NON-NULL group keys only -- the inner groupBy keeps a
+    NULL l_partkey/l_suppkey as a group, but COUNT(DISTINCT) (and the
+    DuckDB oracle) excludes NULLs, so ``F.count(key)`` rather than
+    ``F.count(lit(1))`` over the group rows; ``n_lines`` still sums
+    every row including NULL-key ones."""
     parts = (
         li.select("l_returnflag", "l_partkey")
         .repartition(n, "l_returnflag", "l_partkey")
@@ -550,7 +562,7 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_parts"),
+            F.count("l_partkey").alias("n_parts"),
             F.sum("_c").alias("n_lines"),
         )
     )
@@ -559,7 +571,7 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "l_returnflag", "l_suppkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_supps"))
+        .agg(F.count("l_suppkey").alias("n_supps"))
     )
     return (
         parts.join(supps, "l_returnflag")

@@ -91,6 +91,16 @@ def _list_state_dir(path: str, spark: SparkSession | None = None) -> list[str] |
     from pyspark.sql import SparkSession as _S
 
     spark = spark or _S.getActiveSession()
+    if spark is None:
+        # fail-loudly contract: without a session there is no Hadoop
+        # conf to probe through, and silently treating the path as
+        # absent would re-seed streaming state (the exact failure mode
+        # this function exists to prevent)
+        raise RuntimeError(
+            f"_list_state_dir({path!r}): no active SparkSession -- pass spark "
+            "explicitly (a None session would otherwise surface as an opaque "
+            "AttributeError, or as silent state re-seeding)"
+        )
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
@@ -548,7 +558,10 @@ def incremental_dedup_batch(
 
 
 def _manifest_has_batches_between(
-    manifest_path: str, after_batch_id: int, before_batch_id: int
+    manifest_path: str,
+    after_batch_id: int,
+    before_batch_id: int,
+    spark: SparkSession | None = None,
 ) -> bool:
     """True iff the manifest holds ``batch_id=K`` partitions with
     ``after < K < before`` -- i.e. the newest Bloom snapshot is STALE
@@ -558,7 +571,7 @@ def _manifest_has_batches_between(
     it must not be trusted."""
     import re
 
-    for e in _list_state_dir(manifest_path) or []:
+    for e in _list_state_dir(manifest_path, spark) or []:
         mt = re.fullmatch(r"batch_id=(\d+)", e)
         if mt and after_batch_id < int(mt.group(1)) < before_batch_id:
             return True
@@ -656,7 +669,7 @@ def _bloom_split_dedup(
         stats["bloom_geometry_mismatch"] = True
         bitmap = None
     elif bitmap is not None and _manifest_has_batches_between(
-        manifest_path, snap_id, batch_id
+        manifest_path, snap_id, batch_id, spark=batch_df.sparkSession
     ):
         stats["bloom_snapshot_stale"] = True
         bitmap = None

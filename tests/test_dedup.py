@@ -376,3 +376,42 @@ def test_incremental_dedup_single_shuffle_chain(spark):
     assert window_pos != -1 and join_pos != -1
     between = plan[min(window_pos, join_pos): max(window_pos, join_pos)]
     assert "Exchange" not in between, "window re-exchanged after the fp join"
+
+
+def test_minhash_cache_registry_release(corpus, spark):
+    """minhash builders persist intermediates (signatures, candidates,
+    shingles) that only the caller's action materializes; the module
+    registry must release them on demand, and the bucket_stats path --
+    which consumes only the slim postings -- must register NOTHING
+    (r9 ADVICE: it used to pay a signature cache write it never read)."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        minhash_banded_bucket_stats,
+        minhash_banded_pairs,
+        release_minhash_caches,
+    )
+
+    release_minhash_caches()  # clean slate from earlier tests
+    minhash_banded_bucket_stats(corpus, "doc_id", "text").collect()
+    assert release_minhash_caches() == 0
+
+    minhash_banded_pairs(corpus, "doc_id", "text", min_jaccard=0.3).collect()
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    assert release_minhash_caches() >= 2  # signed + cand (+ shingles)
+    assert sc._jsc.getPersistentRDDs().size() < before
+
+
+def test_lm_cache_registry_release(spark):
+    from big_data_co2_emission_analysis_spark.operators.ngram_lm import (
+        release_lm_caches,
+        score_docs_bigram_lm,
+    )
+
+    release_lm_caches()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    score_docs_bigram_lm(docs).collect()
+    assert release_lm_caches() == 1
+    assert release_lm_caches() == 0

@@ -176,6 +176,17 @@ def test_ctx_join_auto_uses_measured_envelope(spark, sf_dir):
     )
     assert vals == want and vals
 
+    # r10 byte gate: a row count within broadcast_max_bigrams but an
+    # estimated size above broadcast_max_bytes must ALSO degrade --
+    # the forced broadcast bypasses autoBroadcastJoinThreshold, so the
+    # envelope has to carry the byte-level safety itself
+    byte_plan = explain_formatted(
+        score_docs_bigram_lm(docs, ctx_join="auto", broadcast_max_bytes=0)
+    )
+    assert byte_plan.count("BroadcastHashJoin") == shuffle_plan.count(
+        "BroadcastHashJoin"
+    )
+
 
 def test_stream_partitions_value_identical_and_shares_exchange(spark, sf_dir):
     """stream_partitions (the r8 shared-bigram-stream mode) must be

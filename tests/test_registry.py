@@ -128,3 +128,40 @@ def test_hll_sketch_union_within_error_envelope(spark, sf_dir):
     assert rows, "no priorities"
     for r in rows:
         assert r["rel_err"] <= 0.025, (r["o_orderpriority"], r["rel_err"])
+
+
+def test_distinct_per_flag_scale_branch_excludes_null_keys(spark):
+    """The repartition-first rollup must agree with COUNT(DISTINCT) on
+    NULL-bearing keys: the inner groupBy keeps a NULL-key group, and
+    counting groups with count(lit(1)) would inflate n_parts/n_supps by
+    one per flag (the r9 ADVICE finding -- the byte gate means the
+    fixture-scale oracle never exercises this branch, so pin it here)."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.queries.relational import (
+        _distinct_per_flag_repartitioned,
+    )
+
+    li = spark.createDataFrame(
+        [
+            ("A", 1, 10), ("A", 1, None), ("A", None, 10), ("A", 2, 11),
+            ("N", None, None), ("N", None, None),          # all-NULL flag group
+            ("R", 5, 20), ("R", None, 20), ("R", 5, None),
+        ],
+        "l_returnflag string, l_partkey int, l_suppkey int",
+    )
+    stock = {
+        r.l_returnflag: (r.n_parts, r.n_supps, r.n_lines)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_lines"),
+        )
+        .collect()
+    }
+    scaled = {
+        r.l_returnflag: (r.n_parts, r.n_supps, r.n_lines)
+        for r in _distinct_per_flag_repartitioned(li, 4).collect()
+    }
+    assert scaled == stock == {"A": (2, 2, 4), "N": (0, 0, 2), "R": (1, 1, 3)}

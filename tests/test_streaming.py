@@ -1079,3 +1079,17 @@ def test_bloom_snapshot_refuses_remote_manifest_scheme(spark):
     # local paths (bare or file://) stay fine
     assert _bloom_snapshot_path("/tmp/m", 3).endswith("cumulative_000000000003.bin")
     assert "_bloom" in _bloom_snapshot_path("file:///tmp/m", 3)
+
+
+def test_list_state_dir_without_session_fails_loudly(monkeypatch, tmp_path):
+    """No active session must raise a clear RuntimeError, not an opaque
+    AttributeError on None._jvm (and never silently report the state
+    dir absent -- that would re-seed streaming state)."""
+    import pyspark.sql as pq
+    import pytest as _pytest
+
+    from big_data_co2_emission_analysis_spark.streaming.windows import _list_state_dir
+
+    monkeypatch.setattr(pq.SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    with _pytest.raises(RuntimeError, match="no active SparkSession"):
+        _list_state_dir(str(tmp_path))
