@@ -299,6 +299,7 @@ def _banded_postings(
     num_bands: int,
     shingle_n: int,
     persist_signed: bool = True,
+    slim: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared front half of banded MinHash: returns (base, signed,
     banded) where base is the LAZY (id, __sh shingle-set) frame,
@@ -312,7 +313,15 @@ def _banded_postings(
 
     ``persist_signed=False`` skips the signature persist+registry entry
     for callers that consume only ``banded`` (bucket_stats) -- the
-    cache write would be pure cost there (r9 ADVICE)."""
+    cache write would be pure cost there (r9 ADVICE).
+
+    ``slim=False`` (r10, the small-corpus shape) keeps the signature
+    ON the posting -- banded rows are (id, sig, band, bucket) -- so
+    consumers can compute est_jaccard inside the bucket expansion with
+    no join back to ``signed``: on a tiny corpus the 8x-replicated
+    signatures are a tiny exchange and the two saved shuffle_hash
+    joins dominate (the r9 sf0.1 regression).  The slim default is the
+    scale shape (805 -> ~100 MiB of bucket shuffle at sf10)."""
     import random
 
     rng = random.Random(42)
@@ -363,19 +372,25 @@ def _banded_postings(
         # sf10 -- signature-table-sized, linear in docs); registered
         # for release_minhash_caches
         signed = _MINHASH_CACHES.track(signed.persist(StorageLevel.MEMORY_AND_DISK))
-    # one SLIM row per (doc, band): bucket key = hash of the band's
-    # slice; the signature itself stays in `signed`
-    banded = signed.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bucket")
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_structs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bucket")
+            ),
+        )
+    ).alias("bb")
+    if slim:
+        # one SLIM row per (doc, band): bucket key = hash of the band's
+        # slice; the signature itself stays in `signed`
+        banded = signed.select("id", band_structs).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    else:
+        # small-corpus shape: the signature rides the posting
+        banded = signed.select("id", "sig", band_structs).select(
+            "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     return base, signed, banded
 
 
@@ -423,6 +438,7 @@ def minhash_banded_pairs(
     min_jaccard: float = 0.3,
     max_bucket_size: int | None = 256,
     prune_verify: bool = True,
+    slim_postings: bool = True,
 ) -> DataFrame:
     """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
     values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
@@ -478,7 +494,27 @@ def minhash_banded_pairs(
     4.8 s, sf1 5.3 vs 7.3 s, crossover between sf1 and sf10).
     Registry callers gate it on the same byte sizing as
     ``agg_partitions`` elsewhere; values are identical either way.
+
+    ``slim_postings`` (r10) picks the bucket-exchange shape.  True
+    (the scale default): slim (id, band, bucket) postings, candidate
+    pairs dedup to one row BEFORE any signature work, and est_jaccard
+    comes from two shuffle_hash joins back to the persisted signature
+    table -- at sf10 this cut the bucket shuffle 805 -> ~100 MiB.
+    False (small corpora): the signature rides the posting and
+    est_jaccard is computed inside the bucket expansion with NO joins
+    back -- on a tiny corpus the replicated signatures are a trivial
+    exchange and the two saved joins win (r9's ungated slim shape was
+    1.54x the r8 record at sf0.1).  Values are identical either way
+    (est_jaccard is a pure function of the two signatures; the
+    post-expansion groupBy dedupes the per-collision copies).  Gate
+    both knobs on the same corpus-byte sizing -- the
+    ``distinct_parts_per_flag`` None-means-stock pattern.
     """
+    if not slim_postings:
+        return _minhash_banded_pairs_small(
+            df, id_col, text_col, num_hashes, num_bands, shingle_n,
+            min_jaccard, max_bucket_size,
+        )
     base, signed, banded = _banded_postings(
         df, id_col, text_col, num_hashes, num_bands, shingle_n
     )
@@ -571,6 +607,83 @@ def minhash_banded_pairs(
         cand.hint("shuffle_hash")
         .join(sh_a, "id_a")
         .hint("shuffle_hash")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", "est_jaccard", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _minhash_banded_pairs_small(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    num_bands: int,
+    shingle_n: int,
+    min_jaccard: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """The ``slim_postings=False`` body (the r8 shape, kept verbatim as
+    the small-corpus branch): signatures ride the bucket postings,
+    est_jaccard is computed inside the bucket pair expansion, the
+    post-expansion groupBy dedupes multi-band collisions, and exact
+    verification joins the corpus-wide persisted shingle frame.  Zero
+    joins back to a signature table -- the winning trade exactly while
+    the 8x signature replication is a trivial exchange."""
+    from pyspark import StorageLevel
+
+    base, _, banded = _banded_postings(
+        df, id_col, text_col, num_hashes, num_bands, shingle_n,
+        persist_signed=False, slim=False,
+    )
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("docs") <= max_bucket_size)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x: F.transform(
+                        F.filter("docs", lambda y: y["id"] > x["id"]),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            (
+                                F.aggregate(
+                                    F.zip_with(
+                                        x["sig"],
+                                        y["sig"],
+                                        lambda a, b: F.when(a == b, 1).otherwise(0),
+                                    ),
+                                    F.lit(0),
+                                    lambda acc, v: acc + v,
+                                ).cast("double")
+                                / num_hashes
+                            ).alias("est_jaccard"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    stderr = 1.0 / (num_hashes ** 0.5)
+    cand = (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= max(0.0, min_jaccard - 3 * stderr))
+    )
+    sh = _MINHASH_CACHES.track(base.persist(StorageLevel.MEMORY_AND_DISK))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", "est_jaccard", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)

@@ -415,3 +415,27 @@ def test_lm_cache_registry_release(spark):
     score_docs_bigram_lm(docs).collect()
     assert release_lm_caches() == 1
     assert release_lm_caches() == 0
+
+
+def test_minhash_slim_and_small_shapes_value_identical(corpus):
+    """The r10 crossover gate: slim_postings=False (r8 sig-on-posting
+    shape) and the slim scale shape must produce identical rows --
+    est_jaccard is a pure function of the two signatures, so where it
+    is computed (bucket expansion vs signature rejoin) cannot matter."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        minhash_banded_pairs,
+        release_minhash_caches,
+    )
+
+    def rows(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.est_jaccard, r.jaccard)
+            for r in minhash_banded_pairs(
+                corpus, "doc_id", "text", min_jaccard=0.3, **kw
+            ).collect()
+        )
+
+    slim = rows(slim_postings=True, prune_verify=True)
+    small = rows(slim_postings=False, prune_verify=False)
+    release_minhash_caches()
+    assert small == slim and small
