@@ -176,6 +176,129 @@ def _portable_uniform(id_col, seed: int):
     return (h2.cast("double") + 1.0) / float(_LCG_M + 1)
 
 
+def sql_portable_uniform(key_sql: str, seed: int) -> str:
+    """The ANSI-SQL twin of :func:`_portable_uniform`, kept NEXT TO the
+    Python so the two cannot drift: paste into any oracle that replays
+    a hash-threshold sample.  ``key_sql`` must be a BIGINT expression;
+    the sign-fold is the documented ``((k % M) + M) % M`` expansion of
+    pmod."""
+    m, a, c = _LCG_M, _LCG_A, _LCG_C
+    s = int(seed) % m
+    # explicit BIGINT on the key: engines that type small literals or
+    # narrow columns as INT32 would otherwise overflow in the +M fold
+    k = f"CAST(({key_sql}) AS BIGINT)"
+    h1 = f"(({a} * (({k} % {m} + {m}) % {m}) + {s}) % {m})"
+    h2 = f"(({a} * {h1} + {c}) % {m})"
+    return f"((CAST({h2} AS DOUBLE) + 1.0) / {float(m + 1)!r})"
+
+
+def hash_threshold_sample(
+    df: DataFrame, fraction: float, key: Column, seed: int = 42
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep a row iff its portable
+    keyed uniform is <= ``fraction``.
+
+    The deterministic twin of ``df.sample()`` (SURVEY.md R1): Spark's
+    Bernoulli sampler draws from per-partition RNG streams, so the
+    exact row set depends on the partitioning -- correct statistically,
+    but unreproducible across cluster sizes and un-replayable by any
+    oracle.  Here the draw is :func:`_portable_uniform` on an integer
+    row key: a pure function of (key, seed), identical on any
+    partitioning, any engine (the LCG is exact BIGINT arithmetic, the
+    final division is by 2^31 -- exact in ieee754 doubles), and
+    replayable verbatim in SQL.  Keep probability is exactly
+    ``floor(fraction * 2^31) / 2^31`` -- within 5e-10 of ``fraction``.
+
+    Pure map: no shuffle, no state; scales to any corpus.  ``key``
+    must be an integral column unique per row (composite keys: pack,
+    e.g. ``l_orderkey * 8 + l_linenumber``) -- reusing a key across
+    rows correlates their draws (sometimes wanted: all of a user's
+    rows sample together, the train_test_split leakage contract)."""
+    return df.filter(_portable_uniform(key.cast("long"), seed) <= F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key: Column,
+    seed: int = 42,
+) -> DataFrame:
+    """Reproducible per-stratum Bernoulli: the deterministic twin of
+    ``sampleBy`` (same fractions contract: strata absent from the dict
+    drop entirely), built on the :func:`hash_threshold_sample` keyed
+    uniform so the exact row set is partitioning-independent and
+    SQL-replayable.  The per-stratum threshold is a literal CASE over
+    ``strata_col`` -- still a pure map, no shuffle."""
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
+    frac = None
+    for v, p in fractions.items():
+        frac = (
+            F.when(F.col(strata_col) == F.lit(v), F.lit(float(p)))
+            if frac is None
+            else frac.when(F.col(strata_col) == F.lit(v), F.lit(float(p)))
+        )
+    frac = frac.otherwise(F.lit(-1.0))  # unlisted strata never pass
+    return df.filter(_portable_uniform(key.cast("long"), seed) <= frac)
+
+
+def mixture_hash_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict,
+    key: Column,
+    seed: int = 42,
+) -> DataFrame:
+    """Reproducible mixture resampling: the deterministic twin of
+    :func:`mixture_sample`.  Same semantics -- target weights against
+    observed domain supply, binding domain kept in full, others
+    downsampled -- but BOTH differences that make the stock form
+    unreplayable are removed:
+
+    - the per-domain keep fractions are computed IN THE PLAN (counts
+      aggregate -> broadcast weight table -> one-row min scale ->
+      per-domain ``round(frac, 6)``), not collected to the driver, so
+      there is no control-plane job and the whole computation replays
+      as SQL CTEs;
+    - selection is the keyed-hash threshold, not per-partition RNG.
+
+    The 6-dp rounding of the fraction mirrors temperature_mixture's
+    budget rounding: the division chain is identical IEEE work in both
+    engines, and the rounding keeps a ULP wobble from ever flipping a
+    row's keep decision.  Scale shape: one map-side-combined counts
+    aggregate (|domains| rows), everything else broadcast; the sample
+    itself is a pure map."""
+    weights = {k: float(w) for k, w in target_weights.items()}
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    weights = {k: w / norm for k, w in weights.items()}
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{domain_col} string, __w double"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = counts.join(F.broadcast(wdf), domain_col)
+    scale = joined.filter(F.col("__w") > 0).agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__scale")
+    )
+    fracs = (
+        joined.join(F.broadcast(scale))
+        .select(
+            domain_col,
+            F.round(
+                F.least(F.lit(1.0), F.col("__w") * F.col("__scale") / F.col("__n")), 6
+            ).alias("__frac"),
+        )
+    )
+    return (
+        df.join(F.broadcast(fracs), domain_col)
+        .filter(_portable_uniform(key.cast("long"), seed) <= F.col("__frac"))
+        .drop("__frac")
+    )
+
+
 def weighted_sample_k(
     df: DataFrame,
     group_cols: list[str],

@@ -228,6 +228,47 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("l_returnflag").count().orderBy("l_returnflag")
 
 
+_STRATA_FRACTIONS = {"A": 0.5, "N": 0.1, "R": 0.25}
+
+
+def _stratified_det_oracle() -> str:
+    from ..operators.sampling import sql_portable_uniform
+
+    u = sql_portable_uniform("l_orderkey * 8 + l_linenumber", seed=42)
+    case = " ".join(
+        f"WHEN '{v}' THEN {p!r}e0" for v, p in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE {u} <= CASE l_returnflag {case} ELSE -1.0e0 END
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@register("stratified_sample_det", oracle=_stratified_det_oracle(), tags=("sample",))
+def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of stratified_sample_counts: per-stratum
+    hash-threshold sampling (operators/sampling.py
+    stratified_hash_sample) with the SAME fractions contract as
+    sampleBy, but a partitioning-independent row set -- so the
+    per-stratum counts AND a fixed-point quantity checksum over the
+    exact selected rows are value-verified by full SQL replay."""
+    from ..operators.sampling import stratified_hash_sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    sampled = stratified_hash_sample(li, "l_returnflag", _STRATA_FRACTIONS, key, seed=42)
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
 @register(
     "train_test_split_summary",
     oracle=f"""
@@ -1214,6 +1255,65 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [r["source"] for r in docs.select("source").distinct().collect()]
     weights = dict(zip(sorted(sources), [0.5, 0.3, 0.2][: len(sources)]))
     mixed = mixture_sample(docs, "source", weights, seed=42)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+#: exactly-representable dyadic weights (sum is EXACTLY 1.0 in ieee754,
+#: so mixture_hash_sample's normalization is a bit-exact no-op and the
+#: oracle can use the raw values) over the 4 lexicographically-first
+#: sources -- rank-addressed so the same SQL replays at every SF
+_MIXTURE_DET_WEIGHTS = [0.5, 0.25, 0.125, 0.125]
+
+
+def _mixture_det_oracle() -> str:
+    from ..operators.sampling import sql_portable_uniform
+
+    u = sql_portable_uniform("d.doc_id", seed=42)
+    case = " ".join(
+        f"WHEN {i + 1} THEN {w!r}e0" for i, w in enumerate(_MIXTURE_DET_WEIGHTS)
+    )
+    return f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY source) AS rn
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n, CASE rn {case} END AS w
+      FROM src WHERE rn <= {len(_MIXTURE_DET_WEIGHTS)}
+    ),
+    s AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS scale FROM w WHERE w > 0),
+    f AS (SELECT source, ROUND(LEAST(1.0e0, w * s.scale / n), 6) AS frac FROM w, s)
+    SELECT d.source, COUNT(*) AS n_docs
+    FROM documents d JOIN f USING (source)
+    WHERE {u} <= f.frac
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@register("mixture_sample_det", oracle=_mixture_det_oracle(), tags=("sample", "mixture"))
+def mixture_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of mixture_sample_counts: target weights over
+    the 4 lexicographically-first sources, keep-fractions computed IN
+    THE PLAN (no driver collect) and selection by the portable keyed
+    hash threshold (operators/sampling.py mixture_hash_sample) -- the
+    realized per-source document counts are exact functions of the
+    data and replay as SQL CTEs.  The source->weight map is
+    rank-addressed (sorted source order) so Spark and the oracle bind
+    weights identically at every SF; the one control-plane collect
+    here only DISCOVERS the source names for the weight dict (tiny
+    distinct), it does not move sample data."""
+    from ..operators.sampling import mixture_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = dict(zip(sources, _MIXTURE_DET_WEIGHTS))
+    mixed = mixture_hash_sample(docs, "source", weights, F.col("doc_id"), seed=42)
     return (
         mixed.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))

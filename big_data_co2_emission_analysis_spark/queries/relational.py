@@ -1099,6 +1099,40 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_det_oracle() -> str:
+    from ..operators.sampling import sql_portable_uniform
+
+    u = sql_portable_uniform("l_orderkey * 8 + l_linenumber", seed=42)
+    return f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE {u} <= 0.1e0
+    ORDER BY l_orderkey, l_linenumber
+    """
+
+
+@register("sample_lineitem_det", oracle=_sample_det_oracle(), tags=("sample",))
+def sample_lineitem_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of sample_lineitem (VERDICT r9 #4): the
+    hash-threshold Bernoulli sampler (operators/sampling.py
+    hash_threshold_sample -- portable Lehmer-LCG uniform on the packed
+    (orderkey, linenumber) row key) draws the SAME 10% row set on any
+    partitioning, any cluster size, any engine, so the full sample
+    manifest is value-verified by an exact SQL replay -- unlike the
+    stock per-partition-RNG sample, which is rows-only by contract.
+    linenumber is 1..7 (TPC-H), so ``l_orderkey * 8 + l_linenumber``
+    is collision-free in exact BIGINT arithmetic."""
+    from ..operators.sampling import hash_threshold_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return (
+        hash_threshold_sample(li, 0.1, key, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 @register("approx_distinct_calibration", oracle=None, tags=("agg", "approx", "metric"))
 def approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ error surfaced AS DATA: exact distinct, approx

@@ -64,3 +64,112 @@ def test_expected_table_covers_fixture_custkeys(sf_dir):
         ).fetchall()
     }
     assert got <= set(exp["custkey"]), "expected table misses fixture custkeys"
+
+
+# -- r10 deterministic hash-threshold samplers ------------------------------
+
+
+def test_hash_threshold_sample_partitioning_independent(spark):
+    """The det sampler's row set must be IDENTICAL on any partitioning
+    (the whole point vs df.sample's per-partition RNG streams) and the
+    realized rate must sit in a Bernoulli envelope."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.sampling import (
+        hash_threshold_sample,
+    )
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_threshold_sample(df, 0.2, F.col("k")).collect()}
+    b = {
+        r.k
+        for r in hash_threshold_sample(df.repartition(17, "k"), 0.2, F.col("k")).collect()
+    }
+    assert a == b
+    assert 0.17 < len(a) / 20_000 < 0.23
+    # seed draws an (almost surely) different set
+    c = {r.k for r in hash_threshold_sample(df, 0.2, F.col("k"), seed=7).collect()}
+    assert c != a and 0.17 < len(c) / 20_000 < 0.23
+
+
+def test_sql_portable_uniform_matches_python_twin(spark):
+    """The SQL emitter next to _portable_uniform must replay the exact
+    doubles DuckDB-side -- compare against Spark evaluating both the
+    Column form and the emitted SQL string."""
+    import duckdb
+
+    from big_data_co2_emission_analysis_spark.operators.sampling import (
+        _portable_uniform,
+        sql_portable_uniform,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [0, 1, 2, 12345, 2**31 - 1, 2**31, 2**40, -5]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    spark_vals = [
+        r.u for r in df.select(_portable_uniform(F.col("k"), 42).alias("u"))
+        .collect()
+    ]
+    duck_vals = [
+        duckdb.sql(f"SELECT {sql_portable_uniform(str(k), 42)}").fetchone()[0]
+        for k in keys
+    ]
+    assert spark_vals == duck_vals  # bit-exact doubles
+    assert all(0.0 < u <= 1.0 for u in spark_vals)
+
+
+def test_stratified_hash_sample_contract(spark):
+    """Unlisted strata drop entirely; listed strata keep ~their
+    fraction; fraction 1.0 keeps everything; empty dict raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(9_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "s", {"0": 1.0, "1": 0.25}, F.col("k"))
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 3_000          # fraction 1.0: everything
+    assert "2" not in counts             # unlisted stratum dropped
+    assert 0.18 * 3_000 < counts["1"] < 0.32 * 3_000
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(df, "s", {}, F.col("k"))
+
+
+def test_mixture_hash_sample_semantics(spark):
+    """Binding domain kept in full, realized proportions ~ target
+    weights, domains absent from the weight dict dropped -- the
+    mixture_sample contract, now partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.sampling import (
+        mixture_hash_sample,
+    )
+
+    rows = (
+        [("web", i) for i in range(8_000)]
+        + [("books", 100_000 + i) for i in range(1_000)]
+        + [("code", 200_000 + i) for i in range(3_000)]
+        + [("junk", 300_000 + i) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "dom string, k long")
+    out = mixture_hash_sample(df, "dom", {"web": 0.5, "books": 0.25, "code": 0.25}, F.col("k"))
+    counts = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    # books binds (supply 1000 / weight .25 = 4000 is the min scale):
+    # kept in full; web keeps .5*4000=2000 of 8000; code .25*4000=1000 of 3000
+    assert counts["books"] == 1_000
+    assert 0.8 * 2_000 < counts["web"] < 1.2 * 2_000
+    assert 0.8 * 1_000 < counts["code"] < 1.2 * 1_000
+    # partitioning independence of the whole pipeline
+    again = {
+        r.dom: r.n
+        for r in mixture_hash_sample(
+            df.repartition(13, "k"), "dom", {"web": 0.5, "books": 0.25, "code": 0.25}, F.col("k")
+        ).groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == counts
