@@ -68,11 +68,139 @@ def _walk(node, out: dict) -> None:
 
 
 def collect_metrics(df: DataFrame) -> dict:
-    """Execute ``df`` and return aggregated runtime metrics."""
+    """Execute ``df`` and return aggregated runtime metrics from the
+    FINAL executed plan.  Caveat (VERDICT r9 #5): a query that
+    checkpoints or persists internally runs earlier jobs whose plans
+    are not part of the final plan -- their scans/shuffles are
+    invisible here (the final plan just reads a LogicalRDD).  For
+    whole-action accounting use :func:`collect_metrics_all_jobs`."""
     rows = df.collect()
     out: dict = {"n_rows": len(rows)}
     plan = df._jdf.queryExecution().executedPlan()
     _walk(plan, out)
+    return out
+
+
+#: REST StageData field -> collect_metrics-compatible key
+_STAGE_FIELDS = {
+    "inputRecords": "output_rows_scan",
+    "inputBytes": "bytes_scanned",
+    "shuffleWriteBytes": "shuffle_bytes_written",
+    "shuffleReadBytes": "shuffle_bytes_read",
+    "diskBytesSpilled": "spill_bytes",
+    "executorRunTime": "executor_run_ms",
+    "executorCpuTime": "executor_cpu_ns",
+}
+
+
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage metric rows as plain dicts keyed like the REST
+    v1 StageData.  Primary source is the in-process AppStatusStore
+    (works with ``spark.ui.enabled=false``, the engine default); the
+    HTTP REST API is the fallback when the py4j surface moves but a UI
+    is up."""
+    sc = spark.sparkContext
+    try:
+        store = sc._jsc.sc().statusStore()
+        jvm = spark._jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),  # all statuses; filtered below
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = []
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            if str(s.status()) != "COMPLETE":
+                continue
+            out.append(
+                {
+                    "stageId": s.stageId(),
+                    "inputRecords": s.inputRecords(),
+                    "inputBytes": s.inputBytes(),
+                    "shuffleWriteBytes": s.shuffleWriteBytes(),
+                    "shuffleReadBytes": s.shuffleReadBytes(),
+                    "diskBytesSpilled": s.diskBytesSpilled(),
+                    "executorRunTime": s.executorRunTime(),
+                    "executorCpuTime": s.executorCpuTime(),
+                }
+            )
+        return out
+    except Exception:
+        pass  # py4j surface moved -- try HTTP below
+    import json
+    import urllib.request
+
+    base = sc.uiWebUrl
+    app = sc.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def collect_metrics_all_jobs(df_or_thunk, spark=None) -> dict:
+    """Execute a query and return metrics summed over EVERY stage it
+    ran -- including jobs behind ``localCheckpoint``/``persist``
+    materializations that the final executed plan hides (the profiler
+    attribution fix, VERDICT r9 #5: quartiles' checkpoint boundary made
+    a 60M-row query report '9 scan rows / 0 bytes').
+
+    Pass a ZERO-ARG CALLABLE returning the DataFrame whenever the
+    query builder itself runs jobs (eager checkpoints, control-plane
+    collects, persisted-count gates) -- those run at build time, so an
+    already-built DataFrame would hide them before the watermark is
+    recorded.  A plain DataFrame is accepted for build-free queries.
+
+    Attribution is by stage-id watermark over completed StageData (the
+    SCALING.md total-executor-work protocol; in-process AppStatusStore
+    first, HTTP REST as fallback): record the max completed stage id,
+    build+run the query, then sum the fields of stages with a LARGER
+    id -- robust to retained-stage eviction, correct whenever queries
+    run serially in the session (bench/profile/oracle loops;
+    concurrent queries would cross-attribute).
+    ``bytes_scanned``/``output_rows_scan`` are executor INPUT totals
+    (file reads + cached-block reads), so a checkpointing query counts
+    both the original scan and the checkpoint re-reads -- the honest
+    whole-action I/O.  Skipped stages (reused exchanges) never
+    complete, so reuse still shows as fewer bytes.  Falls back to
+    :func:`collect_metrics` when no stage store is reachable."""
+    thunk = df_or_thunk if callable(df_or_thunk) else (lambda: df_or_thunk)
+    if spark is None:
+        if callable(df_or_thunk):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "collect_metrics_all_jobs(thunk) needs an active session "
+                    "(or pass spark=) to read the stage watermark BEFORE the build"
+                )
+        else:
+            spark = df_or_thunk.sparkSession
+    try:
+        watermark = max(
+            (s.get("stageId", -1) for s in _completed_stages(spark)), default=-1
+        )
+    except Exception:
+        return collect_metrics(thunk())
+    df = thunk()
+    rows = df.collect()
+    out: dict = {"n_rows": len(rows)}
+    try:
+        stages = _completed_stages(spark)
+    except Exception:  # pragma: no cover - stage store vanished mid-run
+        return collect_metrics(df)
+    for s in stages:
+        if s.get("stageId", -1) <= watermark:
+            continue
+        for field, key in _STAGE_FIELDS.items():
+            out[key] = out.get(key, 0) + int(s.get(field, 0) or 0)
+    # key-compatibility with the plan walker's consumers
+    out.setdefault("output_rows_total", out.get("output_rows_scan", 0))
     return out
 
 

@@ -199,3 +199,39 @@ def test_auto_salted_join_uniform_low_multiplicity_not_salted(spark):
     plan = explain_formatted(auto_salted_join(uniform, dim, ["k"]))
     assert "Generate" not in plan  # plain join: no salt-sequence explode
     assert joins._PROBE_RATIO_CACHE  # decided (and memoized) off the sample
+
+
+def test_collect_metrics_all_jobs_sees_through_checkpoints(spark, sf_dir, tmp_path):
+    """The r10 attribution fix: a query whose heavy subtree hides
+    behind an eager localCheckpoint must still report its real scan --
+    the final-plan walker sees only the LogicalRDD (the 'exposes 9 scan
+    rows / 0 bytes' bug), the all-jobs stage sum must not."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.plans.metrics import (
+        collect_metrics,
+        collect_metrics_all_jobs,
+    )
+
+    src = f"{sf_dir}/lineitem.parquet"
+
+    def q():
+        return (
+            spark.read.parquet(src)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+            .orderBy("l_returnflag")
+        )
+
+    plan_only = collect_metrics(q())
+    # thunk form: the eager checkpoint runs at BUILD time, so the
+    # watermark must be recorded before the build, not after
+    all_jobs = collect_metrics_all_jobs(q, spark=spark)
+    assert all_jobs["n_rows"] == plan_only["n_rows"] > 0
+    # the final plan hides the scan behind the checkpoint boundary...
+    assert plan_only.get("bytes_scanned", 0) == 0
+    # ...the stage sum does not, and rows cover the full table
+    n_lineitem = spark.read.parquet(src).count()
+    assert all_jobs["bytes_scanned"] > 0
+    assert all_jobs["output_rows_scan"] >= n_lineitem

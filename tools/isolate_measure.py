@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
-    from big_data_co2_emission_analysis_spark.plans.metrics import collect_metrics
+    from big_data_co2_emission_analysis_spark.plans.metrics import collect_metrics_all_jobs
     from big_data_co2_emission_analysis_spark.queries import all_queries
     from big_data_co2_emission_analysis_spark.session import get_session
 
@@ -69,7 +69,7 @@ def main() -> None:
             if resid:
                 print(f"  (swept {resid} persistent RDDs pre-iteration)")
         sweep()
-        m = collect_metrics(fn(spark, args.sf))
+        m = collect_metrics_all_jobs(lambda: fn(spark, args.sf), spark=spark)
         print(json.dumps({
             "query": name,
             "series_s": series,
