@@ -193,6 +193,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     max_df: int | None = None,
     agg_partitions: int | None = None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
     explode shingles, group postings by shingle, expand ordered doc
@@ -228,10 +229,24 @@ def ngram_jaccard_pairs(
     measured pair multiplicity is 1.12 -- for right-sized aggregation
     state.  Default None keeps the session-default plan (correct and
     spill-free through sf1).
+
+    ``shingle_frame`` (r10, the shared-shingle-stream option): a
+    caller-built ``(id, shingles)`` frame -- ``word_shingles`` output,
+    empty arrays filtered -- consumed INSTEAD of shingling ``df``.
+    Lets a pipeline that runs several shingle consumers (this + the
+    banded MinHash) pay the normalize+shingle map once, typically via
+    a caller-persisted frame.  A/B'd at sf10 (tools/shingle_share_ab.py)
+    before wiring anywhere; the registry queries run standalone and
+    keep the stock build.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    shingled = (
+        shingle_frame
+        if shingle_frame is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+    )
     # the posting stream is keyed by the 16-byte BINARY md5 of the
     # shingle, not the shingle string itself (the substring family's
     # r8 lesson: the key is most of each posting row's width on the
@@ -300,6 +315,7 @@ def _banded_postings(
     shingle_n: int,
     persist_signed: bool = True,
     slim: bool = True,
+    shingle_frame: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared front half of banded MinHash: returns (base, signed,
     banded) where base is the LAZY (id, __sh shingle-set) frame,
@@ -345,9 +361,14 @@ def _banded_postings(
     # shingles -- minhash_banded_pairs now semi-join-prunes the corpus
     # to candidate ids and re-shingles just those (~candidates, not
     # rows).  The signature chain streams through this frame once.
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    if shingle_frame is not None:
+        # shared-shingle-stream option: caller-built (id, shingles),
+        # same frame ngram_jaccard_pairs accepts
+        base = shingle_frame.select("id", F.col("shingles").alias("__sh"))
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("__sh")
+        ).filter(F.size("__sh") > 0)
     hashed = base.select("id", F.explode("__sh").alias("__s")).select(
         "id", F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF).cast("long")).alias("__h")
     )
@@ -439,6 +460,7 @@ def minhash_banded_pairs(
     max_bucket_size: int | None = 256,
     prune_verify: bool = True,
     slim_postings: bool = True,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
     values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
@@ -509,14 +531,22 @@ def minhash_banded_pairs(
     post-expansion groupBy dedupes the per-collision copies).  Gate
     both knobs on the same corpus-byte sizing -- the
     ``distinct_parts_per_flag`` None-means-stock pattern.
+
+    ``shingle_frame`` (r10): a caller-built ``(id, shingles)`` frame
+    (the same one ``ngram_jaccard_pairs`` accepts) consumed instead of
+    shingling ``df`` -- for pipelines running several shingle
+    consumers over one corpus.  The caller owns its persistence;
+    verification joins it (semi-pruned under ``prune_verify``) instead
+    of re-shingling.  A/B'd at sf10 in tools/shingle_share_ab.py.
     """
     if not slim_postings:
         return _minhash_banded_pairs_small(
             df, id_col, text_col, num_hashes, num_bands, shingle_n,
-            min_jaccard, max_bucket_size,
+            min_jaccard, max_bucket_size, shingle_frame=shingle_frame,
         )
     base, signed, banded = _banded_postings(
-        df, id_col, text_col, num_hashes, num_bands, shingle_n
+        df, id_col, text_col, num_hashes, num_bands, shingle_n,
+        shingle_frame=shingle_frame,
     )
 
     grouped = (
@@ -587,14 +617,21 @@ def minhash_banded_pairs(
         ids = (
             cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         )
-        sh = _MINHASH_CACHES.track(
-            df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
-            .select(
-                F.col(id_col).alias("id"),
-                word_shingles(text_col, shingle_n).alias("__sh"),
+        if shingle_frame is not None:
+            # shared stream: semi-prune the caller's frame (already
+            # shingled, typically caller-persisted) -- no re-shingle
+            sh = base.join(ids, "id", "leftsemi")
+        else:
+            sh = _MINHASH_CACHES.track(
+                df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
+                .select(
+                    F.col(id_col).alias("id"),
+                    word_shingles(text_col, shingle_n).alias("__sh"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    elif shingle_frame is not None:
+        sh = base  # caller owns the shared frame's persistence
     else:
         # small corpus: a corpus-wide shingle cache is trivial and the
         # prune chain's extra stages would dominate (docstring numbers)
@@ -622,6 +659,7 @@ def _minhash_banded_pairs_small(
     shingle_n: int,
     min_jaccard: float,
     max_bucket_size: int | None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """The ``slim_postings=False`` body (the r8 shape, kept verbatim as
     the small-corpus branch): signatures ride the bucket postings,
@@ -634,7 +672,7 @@ def _minhash_banded_pairs_small(
 
     base, _, banded = _banded_postings(
         df, id_col, text_col, num_hashes, num_bands, shingle_n,
-        persist_signed=False, slim=False,
+        persist_signed=False, slim=False, shingle_frame=shingle_frame,
     )
     grouped = (
         banded.groupBy("band", "bucket")
@@ -677,7 +715,10 @@ def _minhash_banded_pairs_small(
         .agg(F.first("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= max(0.0, min_jaccard - 3 * stderr))
     )
-    sh = _MINHASH_CACHES.track(base.persist(StorageLevel.MEMORY_AND_DISK))
+    if shingle_frame is not None:
+        sh = base  # caller owns the shared frame's persistence
+    else:
+        sh = _MINHASH_CACHES.track(base.persist(StorageLevel.MEMORY_AND_DISK))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))

@@ -439,3 +439,53 @@ def test_minhash_slim_and_small_shapes_value_identical(corpus):
     small = rows(slim_postings=False, prune_verify=False)
     release_minhash_caches()
     assert small == slim and small
+
+
+def test_shared_shingle_frame_value_identical(corpus, spark):
+    """shingle_frame= (the r10 shared-shingle-stream option) must be
+    value-identical to the internal shingling for BOTH consumers, in
+    every shape combination."""
+    from pyspark.sql import functions as F
+
+    from big_data_co2_emission_analysis_spark.operators.dedup import (
+        minhash_banded_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    sh = (
+        corpus.select(F.col("doc_id").alias("id"), word_shingles("text", 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    try:
+        for kw in (
+            dict(slim_postings=True, prune_verify=True),
+            dict(slim_postings=True, prune_verify=False),
+            dict(slim_postings=False, prune_verify=False),
+        ):
+            base = sorted(
+                tuple(r)
+                for r in minhash_banded_pairs(
+                    corpus, "doc_id", "text", min_jaccard=0.3, **kw
+                ).collect()
+            )
+            shared = sorted(
+                tuple(r)
+                for r in minhash_banded_pairs(
+                    corpus, "doc_id", "text", min_jaccard=0.3, shingle_frame=sh, **kw
+                ).collect()
+            )
+            assert shared == base and base, kw
+        ng_base = sorted(
+            tuple(r) for r in ngram_jaccard_pairs(corpus, "doc_id", "text").collect()
+        )
+        ng_shared = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                corpus, "doc_id", "text", shingle_frame=sh
+            ).collect()
+        )
+        assert ng_shared == ng_base and ng_base
+    finally:
+        sh.unpersist()
