@@ -145,6 +145,13 @@ HEADLINE = [
     # harness scoring exact vs IVF-det vs PQ-det retrieval side by side
     "ann_pq_det_top10",
     "ann_eval_metrics",
+    # round-10 additions: the deterministic hash-threshold samplers
+    # (pure-map Bernoulli manifest, per-stratum CASE thresholds, and
+    # the in-plan mixture fractions -- the value-verified twins of the
+    # rows-only RNG sampling paths)
+    "sample_lineitem_det",
+    "stratified_sample_det",
+    "mixture_sample_det",
 ]
 
 

@@ -442,6 +442,10 @@ _NLJ_WHITELIST = {
     # sides control-plane-sized, never corpus-scale
     "ann_pq_det_top10",
     "ann_eval_metrics",
+    # r10: 1-row min(scale) scalar broadcast into the |domains|-row
+    # fraction table (temperature_mixture_manifest's exact pattern);
+    # the corpus side joins the fraction table by BroadcastHashJoin
+    "mixture_sample_det",
 }
 
 

@@ -46,14 +46,19 @@ SHOWCASE = [
     ),
     (
         "minhash_banded_near_dups",
-        "Banded MinHash (r9 shape): the k=32 signature mins are plain "
-        "aggregate columns inside whole-stage codegen; bucket postings "
-        "carry (id, band, bucket) ONLY -- the 256 B signature never "
-        "rides the bucket exchange -- and candidate pairs dedupe "
+        "Banded MinHash, r10 byte-gated crossover: BELOW the corpus-byte "
+        "gate (this dump's SF) the r8 small shape runs -- signatures "
+        "ride the bucket postings, est_jaccard computes inside the "
+        "bucket pair expansion (no joins back), verification joins the "
+        "corpus-wide persisted shingle frame.  ABOVE the gate "
+        "(fixtures/sf10) the slim scale shape: (id, band, bucket) "
+        "postings only -- the 256 B signature never rides the bucket "
+        "exchange (805 -> ~100 MiB at sf10) -- candidate pairs dedupe "
         "before ONE est-jaccard join against the persisted signature "
-        "table; exact verification semi-join-prunes the corpus to the "
-        "candidate id spine and re-shingles just those docs (no "
-        "corpus-wide cache).",
+        "table, and verification semi-join-prunes the corpus to the "
+        "candidate id spine.  Values identical (shape-parity test); "
+        "the k=32 signature mins are plain aggregate columns inside "
+        "whole-stage codegen in both shapes.",
     ),
     (
         "distinct_parts_per_flag",
@@ -258,6 +263,18 @@ SHOWCASE = [
         "already holds, so the second full-data exchange+sort shrinks "
         "to keys x quantiles x <=2 slices.  No SinglePartition "
         "anywhere (asserted).",
+    ),
+    (
+        "mixture_sample_det",
+        "Deterministic mixture sampling (r10): the per-domain keep "
+        "fractions are computed IN THE PLAN -- a map-side-combined "
+        "counts aggregate (|domains| rows) joins the broadcast weight "
+        "table, a one-row min(scale) broadcasts back, and the corpus "
+        "joins the resulting |domains|-row fraction table by "
+        "BroadcastHashJoin.  Selection is the portable Lehmer-LCG "
+        "threshold: a pure codegen'd map over the fact side, which is "
+        "never shuffled -- no driver collect, no RNG, the whole sample "
+        "replayable as SQL.",
     ),
 ]
 
