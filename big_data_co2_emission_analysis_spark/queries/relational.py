@@ -1107,7 +1107,6 @@ def _sample_det_oracle() -> str:
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM lineitem
     WHERE {u} <= 0.1e0
-    ORDER BY l_orderkey, l_linenumber
     """
 
 
@@ -1121,15 +1120,19 @@ def sample_lineitem_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest is value-verified by an exact SQL replay -- unlike the
     stock per-partition-RNG sample, which is rows-only by contract.
     linenumber is 1..7 (TPC-H), so ``l_orderkey * 8 + l_linenumber``
-    is collision-free in exact BIGINT arithmetic."""
+    is collision-free in exact BIGINT arithmetic.
+
+    No sort: the manifest is corpus-sized (10% of lineitem) and the
+    correctness contract compares order-insensitively -- a cosmetic
+    global orderBy would add a range-partitioner SAMPLING pass that
+    re-reads the whole input (the profiler's whole-action attribution
+    made that visible: 2x scan rows) plus a corpus-scale exchange."""
     from ..operators.sampling import hash_threshold_sample
 
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
-    return (
-        hash_threshold_sample(li, 0.1, key, seed=42)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+    return hash_threshold_sample(li, 0.1, key, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
