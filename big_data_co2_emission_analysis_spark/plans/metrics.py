@@ -93,6 +93,28 @@ _STAGE_FIELDS = {
 }
 
 
+def _drain_listener_bus(spark, timeout_ms: int = 10_000) -> None:
+    """Block until the async ``appStatus`` listener queue is empty.
+
+    The AppStatusStore is fed by a listener on an async bus; stage-
+    completed events can lag ``df.collect()`` returning.  Reading the
+    store without draining can (a) read the watermark too LOW, so a
+    prior query's late-arriving stages get attributed to this one, and
+    (b) miss this query's own trailing stages (undercount) -- silently
+    skewing the PROFILE_*/SCALING whole-action sums even under the
+    documented serial usage.  ``waitUntilEmpty`` is the same barrier
+    Spark's own tests use.  Best-effort: the py4j surface moving is not
+    a reason to fail the measurement."""
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty(timeout_ms)
+        except TypeError:  # Spark 4 signature: waitUntilEmpty() with internal timeout
+            bus.waitUntilEmpty()
+    except Exception:
+        pass
+
+
 def _completed_stages(spark) -> list[dict]:
     """Completed-stage metric rows as plain dicts keyed like the REST
     v1 StageData.  Primary source is the in-process AppStatusStore
@@ -182,6 +204,7 @@ def collect_metrics_all_jobs(df_or_thunk, spark=None) -> dict:
         else:
             spark = df_or_thunk.sparkSession
     try:
+        _drain_listener_bus(spark)
         watermark = max(
             (s.get("stageId", -1) for s in _completed_stages(spark)), default=-1
         )
@@ -190,10 +213,16 @@ def collect_metrics_all_jobs(df_or_thunk, spark=None) -> dict:
     df = thunk()
     rows = df.collect()
     out: dict = {"n_rows": len(rows)}
+    _drain_listener_bus(spark)
     try:
         stages = _completed_stages(spark)
     except Exception:  # pragma: no cover - stage store vanished mid-run
-        return collect_metrics(df)
+        # Do NOT re-collect (that would re-execute a possibly corpus-
+        # scale query just to walk the plan) -- walk the final executed
+        # plan directly with the row count already in hand.
+        plan = df._jdf.queryExecution().executedPlan()
+        _walk(plan, out)
+        return out
     for s in stages:
         if s.get("stageId", -1) <= watermark:
             continue

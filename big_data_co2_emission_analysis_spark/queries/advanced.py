@@ -234,7 +234,7 @@ _STRATA_FRACTIONS = {"A": 0.5, "N": 0.1, "R": 0.25}
 def _stratified_det_oracle() -> str:
     from ..operators.sampling import sql_portable_uniform
 
-    u = sql_portable_uniform("l_orderkey * 8 + l_linenumber", seed=42)
+    u = sql_portable_uniform("CAST(l_orderkey AS BIGINT) * 8 + l_linenumber", seed=42)
     case = " ".join(
         f"WHEN '{v}' THEN {p!r}e0" for v, p in sorted(_STRATA_FRACTIONS.items())
     )
@@ -260,7 +260,7 @@ def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_hash_sample
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    key = F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")
     sampled = stratified_hash_sample(li, "l_returnflag", _STRATA_FRACTIONS, key, seed=42)
     return (
         sampled.groupBy("l_returnflag")
@@ -1312,6 +1312,15 @@ def mixture_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    if len(sources) < len(_MIXTURE_DET_WEIGHTS):
+        # zip would silently truncate the weight list; the sum would then
+        # be < 1.0 and mixture_hash_sample would NORMALIZE while the
+        # oracle uses raw weights -- breaking the bit-exact "dyadic sum
+        # == 1.0, normalization is a no-op" premise. Fail loudly.
+        raise ValueError(
+            f"mixture_sample_det needs >= {len(_MIXTURE_DET_WEIGHTS)} distinct "
+            f"sources, corpus has {len(sources)}: {sources}"
+        )
     weights = dict(zip(sources, _MIXTURE_DET_WEIGHTS))
     mixed = mixture_hash_sample(docs, "source", weights, F.col("doc_id"), seed=42)
     return (

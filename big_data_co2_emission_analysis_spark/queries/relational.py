@@ -1102,7 +1102,7 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sample_det_oracle() -> str:
     from ..operators.sampling import sql_portable_uniform
 
-    u = sql_portable_uniform("l_orderkey * 8 + l_linenumber", seed=42)
+    u = sql_portable_uniform("CAST(l_orderkey AS BIGINT) * 8 + l_linenumber", seed=42)
     return f"""
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM lineitem
@@ -1130,7 +1130,7 @@ def sample_lineitem_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_threshold_sample
 
     li = _t(spark, sf_dir, "lineitem")
-    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    key = F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")
     return hash_threshold_sample(li, 0.1, key, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
