@@ -152,6 +152,15 @@ HEADLINE = [
     "sample_lineitem_det",
     "stratified_sample_det",
     "mixture_sample_det",
+    # round-11 additions: the micro-batch paths join the bench (VERDICT
+    # r10 #5 -- none of the 16 oracled streaming queries was benched, so
+    # a regression in the incremental-dedup or stream-stream-join state
+    # machinery was invisible).  Both run their stream to completion
+    # inside the query builder (run_to_completion), so the timed number
+    # covers source -> micro-batches -> sink; work sums per batch are
+    # available through tools/isolate_measure.py like any other query.
+    "streaming_incremental_dedup_bloom",
+    "streaming_interval_join",
 ]
 
 

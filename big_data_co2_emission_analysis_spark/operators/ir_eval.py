@@ -96,12 +96,91 @@ def retrieval_metrics(
     )
     n_rel = qrels.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
 
+    return _finalize_metrics(n_rel, ideal, per_run, [query_col], query_col, k=k)
+
+
+def retrieval_metrics_multi(
+    runs: dict[str, DataFrame],
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_term",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    arm_col: str = "retriever",
+) -> DataFrame:
+    """Per-(arm, query) metrics for SEVERAL runs evaluated against ONE
+    shared qrels -- the multi-retriever comparison harness
+    (``ann_eval_metrics``: exact vs IVF vs PQ).
+
+    Why not N calls to :func:`retrieval_metrics`: the ideal-DCG ranking
+    and the n_rel denominator depend only on qrels, so per-arm calls
+    recompute both once PER ARM -- for tf-derived qrels that is N extra
+    corpus-scale ``grouped_topk`` passes.  Here per-arm work is limited
+    to the hits join + one keyed aggregate over the (bounded, k-deep)
+    run rows; ideal/n_rel compute once and broadcast-cross with the
+    arm list.  Values are identical to per-arm calls by construction
+    (per_run groups carry the arm key; ideal/n_rel are arm-invariant).
+
+    Every (arm, query) pair present in qrels appears in the output --
+    an arm that retrieved nothing for a query scores 0 (visible, not
+    silently dropped), matching the TREC convention and the SQL
+    oracles' ``retr CROSS JOIN nrel`` shape.
+    """
+    spark = qrels.sparkSession
+    qrels = qrels.filter(F.col(rel_col) > 0)
+    run = None
+    for name, r in runs.items():
+        part = r.withColumn(arm_col, F.lit(name))
+        run = part if run is None else run.unionByName(part)
+
+    gain = lambda c: F.pow(F.lit(2.0), F.col(c)) - F.lit(1.0)  # noqa: E731
+    disc = lambda c: F.log2(F.col(c).cast("double") + F.lit(1.0))  # noqa: E731
+
+    hits = (
+        run.filter(F.col(rank_col) <= k)
+        .join(qrels, [query_col, id_col], "left")
+        .withColumn("__rel", F.coalesce(F.col(rel_col), F.lit(0)))
+    )
+    per_run = hits.groupBy(arm_col, query_col).agg(
+        F.sum((F.col("__rel") > 0).cast("long")).alias("n_hit_k"),
+        dsum(gain("__rel") / disc(rank_col), DCG_SCALE).alias("__dcg"),
+        F.max(
+            F.when(F.col("__rel") > 0, F.lit(1.0) / F.col(rank_col))
+        ).alias("__rr"),
+    )
+
+    from ..functions.ranking import grouped_topk
+
+    ideal = (
+        grouped_topk(
+            qrels,
+            [query_col],
+            [F.desc(rel_col), F.asc(id_col)],
+            k,
+            salt_on=[id_col],
+            rank_col="__irank",
+        )
+        .groupBy(query_col)
+        .agg(dsum(gain(rel_col) / disc("__irank"), DCG_SCALE).alias("__idcg"))
+    )
+    n_rel = qrels.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    arms = spark.createDataFrame([(a,) for a in runs], f"{arm_col} string")
+    base = n_rel.join(ideal, query_col).crossJoin(F.broadcast(arms))
+    return _finalize_metrics(base, None, per_run, [arm_col, query_col], query_col, k=k)
+
+
+def _finalize_metrics(n_rel, ideal, per_run, join_cols, query_col, k: int = 10):
+    """Shared tail of the single- and multi-arm harnesses: left-join
+    per-run aggregates onto the (query[, arm]) spine and derive the
+    6-dp-rounded rates (missing runs coalesce to 0)."""
+    spine = n_rel if ideal is None else n_rel.join(ideal, query_col)
     r6 = lambda c: F.round(c, 6)  # noqa: E731
     return (
-        n_rel.join(ideal, query_col)
-        .join(per_run, query_col, "left")
+        spine
+        .join(per_run, join_cols, "left")
         .select(
-            query_col,
+            *join_cols,
             "n_rel",
             F.coalesce(F.col("n_hit_k"), F.lit(0)).cast("long").alias("n_hit_k"),
             r6(

@@ -972,6 +972,116 @@ def ann_ivf_det_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+@register(
+    "ann_ivf_det_recall",
+    oracle=f"""
+    WITH
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), t -> t * t))) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), t -> t * t))) AS cn
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    exact AS (
+      SELECT qid AS query_id, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.v, q.qv), t -> t[1] * t[2]))
+                       / (c.cn * q.qn), 6) DESC, c.vec_id) AS rnk
+        FROM c CROSS JOIN q
+      ) WHERE rnk <= 10
+    ),
+    asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+    ),
+    cent AS (
+      SELECT cluster AS cell, LIST(value ORDER BY pos) AS cvec
+      FROM read_parquet('{_DEDUP_EXPECTED}/kmeans_deterministic_centroids.parquet')
+      WHERE corpus_md5 = {_EMB_MD5_SQL}
+      GROUP BY cluster
+    ),
+    pd AS (
+      SELECT q.qid, cent.cell,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, cent.cvec),
+                                           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT qid, cell FROM pd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cell) <= {_IVF_DET_NPROBE}
+    ),
+    approx AS (
+      SELECT qid AS query_id, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(c.v, q.qv), t -> t[1] * t[2]))
+                       / (c.cn * q.qn), 6) DESC, c.vec_id) AS rnk
+        FROM probes p
+        JOIN asg a ON a.cluster = p.cell
+        JOIN c ON c.vec_id = a.vec_id
+        JOIN q ON q.qid = p.qid
+      ) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT e.query_id,
+             CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    )
+    SELECT query_id,
+           CAST(SUM(hit) AS BIGINT) AS n_hit_10,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM hits GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("vector", "similarity", "metric", "ml"),
+)
+def ann_ivf_det_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the DETERMINISTIC IVF path vs the 6-dp-rounded
+    exact brute-force baseline, per query -- the VALUE-VERIFIED twin of
+    the rows-only ``ann_ivf_recall`` (whose MLlib quantizer is not
+    engine-replayable): both arms replay in SQL, so the recall METRIC
+    itself is oracle-checked data, not a floor-asserted self-report.
+
+    Arms share the ``_ann_recall`` conventions: corpus = vec_id >= 5
+    (query vectors excluded), cosines rounded to 6 dp BEFORE ranking
+    with vec_id tie-break.  The det quantizer (assignments + centroids)
+    comes through the `_det_kmeans` build-once cache; probe choice is
+    the same `_IVF_DET_NPROBE`-of-8 as ``ann_ivf_det_top10``."""
+    from ..operators.similarity import brute_force_topk, ivf_search_assigned
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    assignments, centroids = _det_kmeans(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, k=10, round_dp=6).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = ivf_search_assigned(
+        corpus, assignments, centroids, queries, k=10, nprobe=_IVF_DET_NPROBE
+    ).select("query_id", "vec_id")
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.exact_id == approx.vec_id),
+        "left",
+    ).select(exact.query_id, F.col("vec_id").isNotNull().cast("int").alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hit_10"),
+            F.round(F.sum("hit").cast("double") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic PQ ANN (ml/deterministic.py deterministic_pq +
 # operators/similarity.py pq_search_coded): the value-verifiable twin

@@ -1355,7 +1355,12 @@ def bm25_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranking import bm25_per_term, grouped_topk
     from ..operators.ir_eval import retrieval_metrics
 
-    per = bm25_per_term(_docs(spark, sf_dir), list(_EVAL_TERMS))
+    # `per` feeds the run AND the qrels side (read 3x inside
+    # retrieval_metrics: hits join, ideal topk, n_rel) -- checkpoint
+    # the one corpus-tokenizing build so every consumer reads blocks
+    per = bm25_per_term(_docs(spark, sf_dir), list(_EVAL_TERMS)).localCheckpoint(
+        eager=True
+    )
     # run building: salted two-level top-k -- a direct per-term window
     # would sort each term's corpus-sized match set in one task
     run = grouped_topk(
@@ -1420,26 +1425,46 @@ def _prf_hybrid_run(
     from ..functions.ranking import bm25_per_term, grouped_topk, rrf_fuse
     from .vector_queries import _dot, _sq_norm
 
-    per = bm25_per_term(docs, list(terms), k1=_BM25_K1, b=_BM25_B)
-    lex = grouped_topk(
-        per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
-        ["query_term"],
-        [F.desc("__s"), F.asc("doc_id")],
-        k=list_n,
-        salt_on=["doc_id"],
-    ).select("query_term", "doc_id", "rank")
+    # shared-frame single-build (the ann_eval_metrics pattern): `per`
+    # carries the tokenize-the-corpus BM25 lineage and is consumed by
+    # the lexical arm AND the qrels side (which retrieval_metrics reads
+    # three times) -- checkpoint once, every consumer reads blocks.
+    # `lex` is bounded (list_n rows/term) but is read twice (PRF top-1
+    # and fusion), each read otherwise re-running the salted topk.
+    per = bm25_per_term(docs, list(terms), k1=_BM25_K1, b=_BM25_B).localCheckpoint(
+        eager=True
+    )
+    lex = (
+        grouped_topk(
+            per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
+            ["query_term"],
+            [F.desc("__s"), F.asc("doc_id")],
+            k=list_n,
+            salt_on=["doc_id"],
+        )
+        .select("query_term", "doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
 
     top1 = lex.filter(F.col("rank") == 1).select("query_term", "doc_id")
     qv = F.broadcast(
         top1.join(emb, top1["doc_id"] == emb["vec_id"]).select(
-            "query_term", F.col("embedding").alias("__qv")
+            "query_term",
+            F.col("embedding").alias("__qv"),
+            # query-norm hoisted: one fold per TERM here vs one per
+            # (corpus row, term) inside the cosine below
+            F.sqrt(_sq_norm(F.col("embedding"))).alias("__qn"),
         )
     )
+    # corpus-side norm hoisted into a projection BELOW the broadcast
+    # join (a projection stays under the join in Catalyst), so it folds
+    # once per corpus row instead of once per (row, term) join output;
+    # dot/(cn*qn) keeps the SQL oracle's exact IEEE op order
     corpus_vecs = emb.join(
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
+    ).withColumn("__cn", F.sqrt(_sq_norm(F.col("embedding"))))
     cosine = _dot(F.col("embedding"), F.col("__qv")) / (
-        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("__qv")))
+        F.col("__cn") * F.col("__qn")
     )
     sem_scores = corpus_vecs.join(qv).select(
         "query_term",
@@ -1765,14 +1790,25 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate: how much nDCG/recall each ANN index trades for its speed and
     memory, as oracle-checked data."""
     from ..functions.ranking import bm25_per_term, grouped_topk
-    from ..operators.ir_eval import retrieval_metrics
+    from ..operators.ir_eval import retrieval_metrics_multi
     from ..operators.similarity import ivf_search_assigned, pq_search_coded
     from .mlops import _det_kmeans, _det_pq
     from .vector_queries import _dot, _emb, _sq_norm
 
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    per = bm25_per_term(docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B)
+    # The three shared frames below are each consumed by SEVERAL arms
+    # (the PQ arm alone references the query vectors twice: LUT build
+    # and re-rank), and `per`/`qv` carry the full tokenize-the-corpus
+    # BM25 lineage -- without a cut, building three runs + qrels
+    # re-tokenizes the corpus ~10x.  localCheckpoint(eager=True) is the
+    # curated_corpus_v4 single-build pattern: materialize once at build
+    # time, every consumer reads blocks (bench/oracle sweeps release
+    # the blocks between queries).  Values are unchanged by
+    # construction -- a checkpoint is a materialization, not a plan.
+    per = bm25_per_term(docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B).localCheckpoint(
+        eager=True
+    )
     top1 = grouped_topk(
         per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
         ["query_term"],
@@ -1780,23 +1816,40 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         salt_on=["doc_id"],
     ).select("query_term", "doc_id")
-    qv = top1.join(emb, top1["doc_id"] == emb["vec_id"]).select(
-        "query_term", F.col("embedding").alias("qv")
+    # 6 rows; checkpointing makes every arm's broadcast read a
+    # LogicalRDD instead of re-running topk-over-BM25
+    qv = (
+        top1.join(emb, top1["doc_id"] == emb["vec_id"])
+        .select("query_term", F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=True)
     )
-    corpus = emb.join(
-        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    # retrievable corpus with the L2 norm hoisted ONCE per vector (the
+    # exact arm otherwise re-folds the d-element sum per (row, term):
+    # a 6x map-side blowup); shared by exact scan, IVF cell join, and
+    # PQ re-rank -- the build-once/search-many frame
+    corpus = (
+        emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+        .withColumn("__cn", F.sqrt(_sq_norm(F.col("embedding"))))
+        .localCheckpoint(eager=True)
     )
 
-    # exact arm: brute-force cosine, salted top-k cut (the sem-arm shape)
-    cosine = _dot(F.col("embedding"), F.col("__qv")) / (
-        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("__qv")))
-    )
+    # exact arm: brute-force cosine, salted top-k cut (the sem-arm
+    # shape); dot/(cn*qn) keeps the oracle's exact IEEE op order
     sc = corpus.join(
-        F.broadcast(qv.select("query_term", F.col("qv").alias("__qv")))
+        F.broadcast(
+            qv.select(
+                "query_term",
+                F.col("qv").alias("__qv"),
+                F.sqrt(_sq_norm(F.col("qv"))).alias("__qn"),
+            )
+        )
     ).select(
         "query_term",
         F.col("vec_id").alias("doc_id"),
-        F.round(cosine, 6).alias("__cos"),
+        F.round(
+            _dot(F.col("embedding"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")),
+            6,
+        ).alias("__cos"),
     )
     exact_run = grouped_topk(
         sc,
@@ -1836,14 +1889,13 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels = per.select(
         "query_term", "doc_id", F.least(F.col("tf"), F.lit(3)).cast("int").alias("rel")
     )
-    parts = []
-    for name, run in (("exact", exact_run), ("ivf_det", ivf_run), ("pq_det", pq_run)):
-        parts.append(
-            retrieval_metrics(run, qrels, k=_EVAL_K).withColumn(
-                "retriever", F.lit(name)
-            )
-        )
-    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # one multi-arm harness call: ideal-DCG and n_rel (arm-invariant,
+    # corpus-scale qrels aggregates) compute ONCE instead of per arm
+    res = retrieval_metrics_multi(
+        {"exact": exact_run, "ivf_det": ivf_run, "pq_det": pq_run},
+        qrels,
+        k=_EVAL_K,
+    )
     return res.select(
         "retriever",
         "query_term",
