@@ -184,3 +184,36 @@ def test_ann_eval_metrics_shape_and_bounds(spark):
         assert r.n_rel > 0
     assert set(by_arm) == {"exact", "ivf_det", "pq_det"}
     assert all(terms == set(_EVAL_TERMS) for terms in by_arm.values())
+
+
+def test_multi_arm_metrics_match_per_arm_calls(spark):
+    """retrieval_metrics_multi must be a pure refactor of N per-arm
+    retrieval_metrics calls (ideal/n_rel computed once instead of per
+    arm): identical rows for every (arm, query), including an arm that
+    retrieved nothing for some query (all-zero row, not a dropped one)."""
+    from big_data_co2_emission_analysis_spark.operators.ir_eval import (
+        retrieval_metrics_multi,
+    )
+
+    rows_qrels = [("q%d" % (i % 5), i, (i % 4)) for i in range(0, 150, 2)]
+    rows_qrels = [(q, d, r) for q, d, r in rows_qrels if r > 0]
+    qrels = _qrels(spark, rows_qrels)
+    runs = {
+        "good": _run(spark, [("q%d" % (i % 5), i, (i % 8) + 1) for i in range(120)]),
+        # arm that never retrieves for q4 -> must still get q4 rows (zeros)
+        "narrow": _run(
+            spark,
+            [("q%d" % (i % 4), i * 2, (i % 6) + 1) for i in range(80)],
+        ),
+    }
+    multi = {
+        (r.retriever, r.query_term): r.asDict()
+        for r in retrieval_metrics_multi(runs, qrels, k=5).collect()
+    }
+    for arm, run in runs.items():
+        for r in retrieval_metrics(run, qrels, k=5).collect():
+            got = dict(multi[(arm, r.query_term)])
+            got.pop("retriever")
+            assert got == r.asDict(), (arm, r.query_term, got, r.asDict())
+    # every (arm, qrels-query) pair present
+    assert set(multi) == {(a, "q%d" % i) for a in runs for i in range(5)}
