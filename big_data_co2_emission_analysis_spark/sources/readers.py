@@ -186,6 +186,31 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     target = spark.sparkContext.defaultParallelism
+    # Byte-scaled ceiling (r11): maxPartitionBytes packs a multi-hundred
+    # -MB corpus of small files into ~cores splits, so every downstream
+    # explode (shingle postings) buffers its WHOLE split's expansion in
+    # one shuffle-write sorter -- at fixtures/sf30 (268 MB) the 32-way
+    # split put ~72 MB of postings per task sorter and spilled the full
+    # 2.3 GB posting exchange.  One task per ~4 MiB of compressed text
+    # keeps the expansion sorter small; below the default-parallelism
+    # floor (every committed SF through sf10) this is a no-op, so small
+    # -SF plans and benches are unchanged.
+    try:
+        import os
+
+        src = f"{sf_dir}/documents.parquet"
+        nbytes = (
+            sum(
+                os.path.getsize(os.path.join(src, f))
+                for f in os.listdir(src)
+                if not f.startswith(("_", "."))
+            )
+            if os.path.isdir(src)
+            else os.path.getsize(src)
+        )
+        target = max(target, min(4096, nbytes // (4 * 1024 * 1024)))
+    except OSError:  # non-local path: keep the parallelism floor
+        pass
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df

@@ -102,7 +102,12 @@ def main() -> None:
             (col, user_base if base is None else counts[base])
             for col, base in shift_spec
         ]
-        out = replicate(tables[t], args.factor, shifts)
+        # parallelize the expansion: the small-SF source files are 1-2
+        # row groups, so without a source repartition the factor-N
+        # crossJoin expansion (and the documents regex rewrite) runs on
+        # 1-2 tasks -- measured at factor 300: lineitem stuck >10 min
+        # single-task vs ~2 min across 32
+        out = replicate(tables[t].repartition(32), args.factor, shifts)
         if t == "customer":
             out = out.withColumn("c_name", F.format_string("Customer#%09d", "c_custkey"))
         elif t == "supplier":
