@@ -76,11 +76,26 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Near-format dedup: group by normalized fingerprint, keep min id."""
-    return exact_dedup_keep_min(
-        df.withColumn("__fp", fingerprint(text_col)), ["__fp"], id_col
-    ).drop("__fp")
+def fingerprint_dedup(
+    df: DataFrame, text_col: str, id_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Near-format dedup: group by normalized fingerprint, keep min id.
+
+    ``num_partitions`` (r11) sizes the fingerprint exchange instead of
+    inheriting ``spark.sql.shuffle.partitions``: the explicit
+    ``repartition(n, __fp)`` satisfies the keep-min window's clustering
+    requirement, so it REPLACES the window's own exchange (no second
+    shuffle) while every downstream stage -- in curated_corpus_v4 the
+    substring posting posexplode, whose shuffle-write sorter buffers
+    its whole split's window expansion -- runs with n right-sized tasks
+    instead of the session default.  Measured at fixtures/sf30: the
+    default-32 survivor frame put ~65 MB of posting expansion per task
+    sorter and spilled the full 2.2 GB posting exchange; sized, 0.
+    None keeps the stock plan (every committed SF through sf10)."""
+    keyed = df.withColumn("__fp", fingerprint(text_col))
+    if num_partitions is not None:
+        keyed = keyed.repartition(num_partitions, "__fp")
+    return exact_dedup_keep_min(keyed, ["__fp"], id_col).drop("__fp")
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

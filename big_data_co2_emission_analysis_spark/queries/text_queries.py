@@ -2939,7 +2939,17 @@ def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.86 GiB, value-hash identical; the r8 substring-exchange lesson
     # applied to the gate chain).
     dd = (
-        fingerprint_dedup(quality, "text", "doc_id")
+        # the fingerprint exchange is also the PARTITIONING of the
+        # substring posting explode downstream -- size it with the
+        # posting-stream byte gate (None below the gate = stock plan)
+        # or its explode tasks buffer their whole split's window
+        # expansion (2.2 GB spilled at fixtures/sf30 on the default 32)
+        fingerprint_dedup(
+            quality,
+            "text",
+            "doc_id",
+            num_partitions=_jaccard_agg_partitions(spark, sf_dir, divisor_kib=512),
+        )
         .select("doc_id", "source", "text")
         .filter(F.col("doc_id").isNotNull())
         .filter(pinned_filter(["source"]))
