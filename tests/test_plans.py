@@ -446,6 +446,11 @@ _NLJ_WHITELIST = {
     # fraction table (temperature_mixture_manifest's exact pattern);
     # the corpus side joins the fraction table by BroadcastHashJoin
     "mixture_sample_det",
+    # r11: the exact arm of the det-IVF recall harness is
+    # brute_force_topk's documented baseline shape -- the 5-row query
+    # set broadcast into a map-side cosine expansion (the
+    # knn_bruteforce_multi pattern; the IVF arm itself is cell-pruned)
+    "ann_ivf_det_recall",
 }
 
 
