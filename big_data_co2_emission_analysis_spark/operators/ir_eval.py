@@ -127,11 +127,20 @@ def retrieval_metrics_multi(
     silently dropped), matching the TREC convention and the SQL
     oracles' ``retr CROSS JOIN nrel`` shape.
     """
+    if not runs:
+        raise ValueError("retrieval_metrics_multi: `runs` must contain at least one arm")
     spark = qrels.sparkSession
     qrels = qrels.filter(F.col(rel_col) > 0)
     run = None
     for name, r in runs.items():
-        part = r.withColumn(arm_col, F.lit(name))
+        missing = {query_col, id_col, rank_col} - set(r.columns)
+        if missing:
+            raise ValueError(
+                f"retrieval_metrics_multi: run {name!r} lacks columns {sorted(missing)}"
+            )
+        # Project down to the three columns the harness reads so arms with
+        # extra/score columns of differing names union cleanly.
+        part = r.select(query_col, id_col, rank_col).withColumn(arm_col, F.lit(name))
         run = part if run is None else run.unionByName(part)
 
     gain = lambda c: F.pow(F.lit(2.0), F.col(c)) - F.lit(1.0)  # noqa: E731

@@ -109,7 +109,11 @@ def _drain_listener_bus(spark, timeout_ms: int = 10_000) -> None:
         bus = spark.sparkContext._jsc.sc().listenerBus()
         try:
             bus.waitUntilEmpty(timeout_ms)
-        except TypeError:  # Spark 4 signature: waitUntilEmpty() with internal timeout
+        except Exception:
+            # py4j raises Py4JError (not TypeError) when the long-arg
+            # overload is absent; catch broadly so the no-arg Spark-4
+            # signature actually gets tried instead of silently
+            # no-opping through the outer best-effort guard.
             bus.waitUntilEmpty()
     except Exception:
         pass

@@ -788,19 +788,9 @@ def ensure_bucketed_tables(
     from ..sources.writers import write_bucketed
 
     if num_buckets is None:
-        src = os.path.join(sf_dir, "lineitem.parquet")
-        try:
-            nbytes = (
-                sum(
-                    os.path.getsize(os.path.join(src, f))
-                    for f in os.listdir(src)
-                    if not f.startswith(("_", "."))
-                )
-                if os.path.isdir(src)
-                else os.path.getsize(src)
-            )
-        except OSError:
-            nbytes = 0
+        from ..sources.readers import table_nbytes
+
+        nbytes = table_nbytes(os.path.join(sf_dir, "lineitem.parquet")) or 0
         num_buckets = max(16, int(nbytes // (8 * 1024 * 1024)))
 
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")

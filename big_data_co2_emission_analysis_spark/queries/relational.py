@@ -44,17 +44,11 @@ def _distinct_agg_partitions(
     starts spilling)."""
     import os
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    from ..sources.readers import table_nbytes
+
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    if os.path.isdir(src):
-        nbytes = sum(
-            os.path.getsize(os.path.join(src, f))
-            for f in os.listdir(src)
-            if not f.startswith(("_", "."))
-        )
-    elif os.path.exists(src):
-        nbytes = os.path.getsize(src)
-    else:
+    nbytes = table_nbytes(os.path.join(sf_dir, f"{table}.parquet"))
+    if nbytes is None:
         return None
     n = int(nbytes // (divisor_mib * 1024 * 1024))
     return n if n > default else None

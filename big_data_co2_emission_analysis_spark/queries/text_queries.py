@@ -199,16 +199,10 @@ def _jaccard_agg_partitions(
     256 KiB (328) and 33.6 s spilled at the 32-partition default."""
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(src):
-        nbytes = sum(
-            os.path.getsize(os.path.join(src, f))
-            for f in os.listdir(src)
-            if not f.startswith(("_", "."))
-        )
-    elif os.path.exists(src):
-        nbytes = os.path.getsize(src)
-    else:  # non-local path: stay with the session default
+    from ..sources.readers import table_nbytes
+
+    nbytes = table_nbytes(os.path.join(sf_dir, "documents.parquet"))
+    if nbytes is None:  # non-local path: stay with the session default
         return None
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n = nbytes // (divisor_kib * 1024)
@@ -1812,9 +1806,13 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25 lineage -- without a cut, building three runs + qrels
     # re-tokenizes the corpus ~10x.  localCheckpoint(eager=True) is the
     # curated_corpus_v4 single-build pattern: materialize once at build
-    # time, every consumer reads blocks (bench/oracle sweeps release
-    # the blocks between queries).  Values are unchanged by
-    # construction -- a checkpoint is a materialization, not a plan.
+    # time, every consumer reads blocks (bench.py, isolate_measure.py
+    # and check_oracle.py all sweep the blocks between queries).
+    # Values are unchanged by construction -- a checkpoint is a
+    # materialization, not a plan.  SIDE EFFECT for plan-only
+    # consumers: merely BUILDING this DataFrame (explain/dump_plans)
+    # executes the corpus-scale tokenize jobs behind the eager
+    # checkpoints; inspect plans at a small SF.
     per = bm25_per_term(docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B).localCheckpoint(
         eager=True
     )

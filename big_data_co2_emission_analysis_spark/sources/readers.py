@@ -30,6 +30,31 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+def table_nbytes(path: str) -> "int | None":
+    """Local on-disk byte size of a parquet table (file or directory),
+    skipping ``_``/``.``-prefixed metadata entries; ``None`` when the
+    path is absent or non-local.
+
+    This is the ONE copy of the filesystem byte-walk every byte-scaled
+    gate uses (read_documents' explode-parallelism guard, the
+    distinct-rewrite / posting-exchange / bucket-count gates).  The
+    metadata-skip rule lives here so the gates cannot diverge."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        if os.path.exists(path):
+            return os.path.getsize(path)
+    except OSError:
+        pass
+    return None
+
+
 #: Explicit schema for the reference's wide CO2 table
 #: (one row per country, one double column per year 1960-2019, plus the
 #: phantom trailing-comma column `_c64`; see SURVEY.md section 1).
@@ -195,22 +220,9 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the expansion sorter small; below the default-parallelism
     # floor (every committed SF through sf10) this is a no-op, so small
     # -SF plans and benches are unchanged.
-    try:
-        import os
-
-        src = f"{sf_dir}/documents.parquet"
-        nbytes = (
-            sum(
-                os.path.getsize(os.path.join(src, f))
-                for f in os.listdir(src)
-                if not f.startswith(("_", "."))
-            )
-            if os.path.isdir(src)
-            else os.path.getsize(src)
-        )
+    nbytes = table_nbytes(f"{sf_dir}/documents.parquet")
+    if nbytes is not None:  # non-local path: keep the parallelism floor
         target = max(target, min(4096, nbytes // (4 * 1024 * 1024)))
-    except OSError:  # non-local path: keep the parallelism floor
-        pass
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df

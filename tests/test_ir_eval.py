@@ -217,3 +217,31 @@ def test_multi_arm_metrics_match_per_arm_calls(spark):
             assert got == r.asDict(), (arm, r.query_term, got, r.asDict())
     # every (arm, qrels-query) pair present
     assert set(multi) == {(a, "q%d" % i) for a in runs for i in range(5)}
+
+
+def test_multi_arm_rejects_empty_and_malformed_runs(spark):
+    """Guard rails (r12): empty runs dict and a run missing a required
+    column both fail with a clear ValueError instead of an
+    AttributeError / opaque unionByName analysis error; a run carrying
+    EXTRA columns (scores, debug cols) is projected down and unions
+    cleanly with a bare run."""
+    from big_data_co2_emission_analysis_spark.operators.ir_eval import (
+        retrieval_metrics_multi,
+    )
+    from pyspark.sql import functions as F
+
+    qrels = _qrels(spark, [("q0", 1, 2), ("q0", 2, 1)])
+    with pytest.raises(ValueError, match="at least one arm"):
+        retrieval_metrics_multi({}, qrels)
+    bad = _run(spark, [("q0", 1, 1)]).drop("rank")
+    with pytest.raises(ValueError, match="lacks columns.*rank"):
+        retrieval_metrics_multi({"a": bad}, qrels)
+    plain = _run(spark, [("q0", 1, 1), ("q0", 2, 2)])
+    extra = plain.withColumn("score", F.lit(0.5)).withColumn("dbg", F.lit("x"))
+    out = retrieval_metrics_multi({"plain": plain, "extra": extra}, qrels, k=5)
+    rows = {(r.retriever, r.query_term): r for r in out.collect()}
+    assert rows[("plain", "q0")].asDict() != {}
+    a = rows[("plain", "q0")].asDict()
+    b = rows[("extra", "q0")].asDict()
+    a.pop("retriever"), b.pop("retriever")
+    assert a == b
