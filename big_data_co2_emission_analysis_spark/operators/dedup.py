@@ -226,6 +226,22 @@ def ngram_jaccard_pairs(
     only for pairs whose every shared shingle is hot).  Default None =
     exact.
 
+    Candidate generation prunes EXACTLY, map-side, at zero added
+    shuffles (r12): the size-ratio filter (a pair with
+    min(n)/max(n) < t can never reach J >= t) drops hopeless pairs
+    inside the posting-list expansion, and pair rows carry the single
+    int na+nb instead of (na, nb) -- see the inline notes.  Full
+    Chaudhuri/Xiao prefix filtering (order tokens rare-first, expand
+    only each doc's (1-t)-prefix) was sized on the fixture corpus and
+    REJECTED for this operator: at the registry's t=0.2 it cuts
+    candidates only 1.48x while requiring a doc-frequency join, a
+    per-doc ranking exchange, and -- fatally -- set-based
+    verification, whose per-candidate shingle-array join shuffles far
+    more bytes than the count-based aggregation it replaces whenever
+    candidates are plentiful.  Prefix filtering pays at t >= 0.5 with
+    sparse candidates; the count-based inverted index is the right
+    100 TB shape at permissive thresholds.
+
     ``agg_partitions`` (VERDICT r5 #2) sizes the two aggregation
     exchanges for the corpus instead of inheriting
     ``spark.sql.shuffle.partitions``.  The memory hot spot is the PAIR
@@ -288,18 +304,44 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         grouped = grouped.filter(F.size("docs") <= max_df)
+    # Candidate generation carries two exact map-side prunes (r12, the
+    # "cut the pair exchange before the agg" treatment):
+    #
+    # 1. SIZE-RATIO filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) (best
+    #    case |A intersect B| = min), so a pair whose length ratio is
+    #    below the threshold can never survive the final filter --
+    #    drop it before it ever becomes an exchange row.  The bound is
+    #    evaluated with the SAME f64 division the final filter uses
+    #    (never t*n multiplication, whose upward rounding could drop a
+    #    boundary pair: 0.2*100 = 20.000000000000004 > 20); f64
+    #    division is weakly monotone, so size-dropped implies
+    #    final-dropped -- results are bit-identical by construction.
+    #
+    # 2. SLIM pair rows: the pair needs only na+nb downstream
+    #    (jaccard = c/(s-c)), so emit one int `s` instead of (na, nb)
+    #    -- UnsafeRow 8-byte field slots make that 40 -> 32 B on the
+    #    operator's dominant exchange, and one less F.first in the
+    #    aggregation hash state.  Integer s = na+nb map-side is the
+    #    same int the old filter computed, so the division is
+    #    bit-identical.
+    ratio = lambda x, y: (  # noqa: E731
+        F.least(x["n"], y["n"]).cast("double") / F.greatest(x["n"], y["n"])
+    )
     pairs = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "docs",
                     lambda x: F.transform(
-                        F.filter("docs", lambda y: y["id"] > x["id"]),
+                        F.filter(
+                            "docs",
+                            lambda y: (y["id"] > x["id"])
+                            & (ratio(x, y) >= F.lit(min_jaccard)),
+                        ),
                         lambda y: F.struct(
                             x["id"].alias("id_a"),
-                            x["n"].alias("na"),
                             y["id"].alias("id_b"),
-                            y["n"].alias("nb"),
+                            (x["n"] + y["n"]).alias("s"),
                         ),
                     ),
                 )
@@ -309,13 +351,13 @@ def ngram_jaccard_pairs(
     if agg_partitions is not None:
         pairs = pairs.repartition(agg_partitions, "id_a", "id_b")
     common = pairs.groupBy("id_a", "id_b").agg(
-        F.count("*").alias("n_common"), F.first("na").alias("na"), F.first("nb").alias("nb")
+        F.count("*").alias("n_common"), F.first("s").alias("s")
     )
     return (
         common.select(
             "id_a",
             "id_b",
-            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+            (F.col("n_common") / (F.col("s") - F.col("n_common"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -476,6 +518,7 @@ def minhash_banded_pairs(
     prune_verify: bool = True,
     slim_postings: bool = True,
     shingle_frame: DataFrame | None = None,
+    broadcast_max_ids: int = 4_000_000,
 ) -> DataFrame:
     """Hand-rolled MinHash + LSH banding (Broder): shingle -> k minhash
     values -> b bands of r = k/b rows -> bucket on (band, band-hash) ->
@@ -535,8 +578,16 @@ def minhash_banded_pairs(
     ``slim_postings`` (r10) picks the bucket-exchange shape.  True
     (the scale default): slim (id, band, bucket) postings, candidate
     pairs dedup to one row BEFORE any signature work, and est_jaccard
-    comes from two shuffle_hash joins back to the persisted signature
-    table -- at sf10 this cut the bucket shuffle 805 -> ~100 MiB.
+    comes from two shuffle_hash joins against the signature table
+    SEMI-FILTERED to candidate docs (r12; AQE broadcasts the candidate
+    id spine, so the rejoin exchanges scale with candidates, not
+    corpus x sig bytes) -- at sf10 the slim shape cut the bucket
+    shuffle 805 -> ~100 MiB.  The 5.1x-for-3x shuffle growth sf30
+    flagged (SCALING_CURVE.md r11) turned out to be the lazy-persist
+    build race re-executing the bucket pipeline and verify prune, not
+    signature bytes -- fixed by the eager checkpoints below; the
+    semi-filter stays because the unfiltered rejoin's corpus-sized
+    exchanges are exactly what a 1,000x corpus cannot afford.
     False (small corpora): the signature rides the posting and
     est_jaccard is computed inside the bucket expansion with NO joins
     back -- on a tiny corpus the replicated signatures are a trivial
@@ -553,6 +604,13 @@ def minhash_banded_pairs(
     consumers over one corpus.  The caller owns its persistence;
     verification joins it (semi-pruned under ``prune_verify``) instead
     of re-shingling.  A/B'd at sf10 in tools/shingle_share_ab.py.
+
+    ``broadcast_max_ids`` (r12, slim path only): envelope for the
+    MEASURED broadcast of the candidate-id spine into the signature
+    semi-filter -- candidate-PAIR count (a free count over the
+    checkpointed pair blocks) times two must fit under it.  Default
+    4M ids (~32 MB hashed-relation).  See the inline note for why AQE
+    cannot make this call on its own.
     """
     if not slim_postings:
         return _minhash_banded_pairs_small(
@@ -576,22 +634,73 @@ def minhash_banded_pairs(
     # est_jaccard is computed once per unique pair (pre-r9 it was
     # computed per collision inside the bucket explode, and the full
     # signature rode every bucket posting)
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "docs",
-                    lambda x: F.transform(
-                        F.filter("docs", lambda y: y > x),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
+    from pyspark import StorageLevel
+
+    pairs = _MINHASH_CACHES.track(
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda x: F.transform(
+                            F.filter("docs", lambda y: y > x),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.*").distinct()
+            ).alias("p")
+        ).select("p.*").distinct()
+        # candidate-pair-sized (bounded by banding + bucket cap);
+        # consumed twice below -- the signature semi-filter spine and
+        # the est_jaccard join chain.  EAGER localCheckpoint, not lazy
+        # persist (r12): independent consumer branches of a lazily
+        # persisted frame can be SCHEDULED CONCURRENTLY with the cache
+        # still empty, and each then re-executes the whole bucket
+        # pipeline -- the sf30 stage ledger showed the 348 MB bucket
+        # exchange written twice (697 MB of the operator's 1.57 GB
+        # shuffle, the superlinear term in SCALING_CURVE.md r11).  The
+        # checkpoint runs the pipeline exactly once at build time and
+        # every consumer reads blocks.
+        .localCheckpoint(eager=True)
+    )
     stderr = 1.0 / (num_hashes ** 0.5)
-    sig_a = signed.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
-    sig_b = signed.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
+    # Semi-filter the signature table down to CANDIDATE docs before the
+    # rejoin (r12).  Without it the two est_jaccard joins each shuffle
+    # the FULL corpus-sized signature table -- bytes that scale with
+    # corpus rather than candidates, the exchange a 1,000x corpus
+    # cannot afford.  The spine is one id per candidate doc (a SUBSET
+    # of the corpus id space, typically tiny after banding); AQE
+    # broadcasts it when small so the persisted signature scan filters
+    # map-side with ZERO added shuffle, and degrades to a shuffled semi
+    # join (one corpus-sig exchange instead of two) on a degenerate
+    # corpus where the candidate set is itself corpus-scale.
+    # MEASURED broadcast decision (the broadcast_max_fps contract from
+    # streaming dedup): AQE cannot save the signed exchange here -- it
+    # materializes BOTH semi-join child exchanges before it learns the
+    # spine is ~1 MB, so the corpus-sized signature exchange is already
+    # written by the time the broadcast conversion could fire (measured
+    # at sf30: 347.6 MB signed exchange with a 0.9 MB spine on disk).
+    # `pairs` is already checkpointed, so the count is a free
+    # block-read; below the envelope the spine broadcasts explicitly
+    # and the signature scan filters in place with zero exchange, above
+    # it (degenerate corpus: candidate set itself corpus-scale) the
+    # shuffled semi is the correct fallback.
+    pair_ids = _MINHASH_CACHES.track(
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # count the SPINE itself, not a pair-count proxy: candidate pairs
+    # number in the millions while their distinct doc ids are bounded
+    # by the corpus and typically ~100x fewer (sf30: ~10M pairs,
+    # ~150k ids) -- a proxy would refuse an easily broadcastable spine.
+    # The count's job is candidate-scale (reads the pair checkpoint
+    # blocks) and doubles as the cache fill the broadcast build reads.
+    if pair_ids.count() <= broadcast_max_ids:
+        pair_ids = F.broadcast(pair_ids)
+    sig_cand = signed.join(pair_ids, "id", "leftsemi")
+    sig_a = sig_cand.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
+    sig_b = sig_cand.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
     est = (
         F.aggregate(
             F.zip_with(
@@ -604,11 +713,9 @@ def minhash_banded_pairs(
         ).cast("double")
         / num_hashes
     )
-    # shuffle_hash on the candidate side: the pair set is the small
-    # side of every join in this chain and never needs the big side
-    # (the signature table) SORTED for a 1:1 probe
-    from pyspark import StorageLevel
-
+    # shuffle_hash on the candidate side: every side of this chain is
+    # candidate-sized after the semi-filter and never needs sorting
+    # for a 1:1 probe
     cand = _MINHASH_CACHES.track(
         pairs.hint("shuffle_hash")
         .join(sig_a, "id_a")
@@ -626,24 +733,35 @@ def minhash_banded_pairs(
         # semi-join-prune the corpus to the candidate id spine and
         # shingle just those (candidate-sized, not corpus-sized -- the
         # r9 change that removed the corpus-wide shingle-set cache).
-        # AQE broadcasts the spine when it is small and degrades to a
-        # shuffle when a degenerate corpus makes it large -- no
-        # static-size bet.
-        ids = (
-            cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-        )
+        # The spine is `pair_ids` -- the PRE-est-filter candidate ids,
+        # a harmless superset of the post-filter ids (extra sh rows
+        # never join back: the final joins are inner on cand) -- because
+        # it is already materialized AND carries the measured broadcast
+        # decision.  Deriving the exact post-filter spine here would
+        # re-run a distinct AND hand AQE another corpus-side semi whose
+        # text exchange it materializes before it can broadcast
+        # (measured at sf30: a 347.6 MB corpus text exchange against a
+        # 1 MB spine).
+        ids = pair_ids
         if shingle_frame is not None:
             # shared stream: semi-prune the caller's frame (already
             # shingled, typically caller-persisted) -- no re-shingle
             sh = base.join(ids, "id", "leftsemi")
         else:
+            # EAGER checkpoint for the same reason as `pairs`: the two
+            # verify legs (sh_a / sh_b) are independent branches, and a
+            # lazy persist let both re-run the corpus semi-prune +
+            # re-shingle (sf30 ledger: two ~122 MB shingle exchanges
+            # from two full corpus scans).  The checkpoint job also
+            # materializes `cand`'s cache en route, so the final probe
+            # never races it either.
             sh = _MINHASH_CACHES.track(
                 df.join(ids, F.col(id_col) == ids["id"], "leftsemi")
                 .select(
                     F.col(id_col).alias("id"),
                     word_shingles(text_col, shingle_n).alias("__sh"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
     elif shingle_frame is not None:
         sh = base  # caller owns the shared frame's persistence

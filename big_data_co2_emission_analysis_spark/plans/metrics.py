@@ -168,6 +168,78 @@ def _completed_stages(spark) -> list[dict]:
         return json.load(r)
 
 
+def _completed_jobs(spark) -> list[dict]:
+    """Succeeded-job rows (jobId, description, stageIds) from the
+    in-process AppStatusStore.  Streaming micro-batch jobs carry the
+    batch id in their description (MicroBatchExecution sets the job
+    description per trigger), which is what lets per-batch work
+    attribution map stages back to batches."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = spark._jvm
+    jobs = store.jobsList(jvm.java.util.ArrayList())
+    out = []
+    it = jobs.iterator()
+    while it.hasNext():
+        j = it.next()
+        if str(j.status()) != "SUCCEEDED":
+            continue
+        desc = j.description()
+        desc = str(desc.get()) if desc.isDefined() else ""
+        sids = []
+        sit = j.stageIds().iterator()
+        while sit.hasNext():
+            sids.append(int(str(sit.next())))
+        out.append({"jobId": int(j.jobId()), "description": desc, "stageIds": sids})
+    return out
+
+
+def collect_metrics_per_batch(thunk, spark) -> tuple[object, dict]:
+    """Run ``thunk`` (typically a streaming query driven to completion)
+    and attribute executor work PER MICRO-BATCH.
+
+    Returns ``(thunk_result, batches)`` where ``batches`` maps batch id
+    (int, or -1 for work not tagged with a batch -- source listing,
+    manifest maintenance, result collection) to the summed stage
+    metrics of the jobs whose description carries that batch id.  Same
+    stage-id-watermark discipline as :func:`collect_metrics_all_jobs`
+    (serial usage; drain the listener bus around the read), so the
+    per-batch rows sum to the whole-action totals.
+
+    Why: the streaming bench rows' wall cost is dominated by fixed
+    micro-batch scheduling overhead, which masks real per-batch work
+    regressions as the corpus grows (VERDICT r11 #5) -- a committed
+    per-batch work table is the diffable baseline."""
+    import re as _re
+
+    _drain_listener_bus(spark)
+    watermark = max((s.get("stageId", -1) for s in _completed_stages(spark)), default=-1)
+    result = thunk()
+    _drain_listener_bus(spark)
+    stages = {
+        s["stageId"]: s for s in _completed_stages(spark) if s["stageId"] > watermark
+    }
+    batches: dict = {}
+    for job in _completed_jobs(spark):
+        m = _re.search(r"batch\s*=?\s*(\d+)", job["description"], _re.IGNORECASE)
+        key = int(m.group(1)) if m else -1
+        for sid in job["stageIds"]:
+            s = stages.pop(sid, None)  # a stage belongs to exactly one job
+            if s is None:
+                continue
+            row = batches.setdefault(key, {"n_stages": 0})
+            row["n_stages"] += 1
+            for field, out_key in _STAGE_FIELDS.items():
+                row[out_key] = row.get(out_key, 0) + int(s.get(field, 0) or 0)
+    if stages:  # stages whose job row was evicted or untagged
+        row = batches.setdefault(-1, {"n_stages": 0})
+        row["n_stages"] += len(stages)
+        for s in stages.values():
+            for field, out_key in _STAGE_FIELDS.items():
+                row[out_key] = row.get(out_key, 0) + int(s.get(field, 0) or 0)
+    return result, batches
+
+
 def collect_metrics_all_jobs(df_or_thunk, spark=None) -> dict:
     """Execute a query and return metrics summed over EVERY stage it
     ran -- including jobs behind ``localCheckpoint``/``persist``

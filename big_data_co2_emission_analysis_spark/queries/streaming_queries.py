@@ -129,13 +129,22 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("streaming", "join"),
 )
-def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_interval_join(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
     """Stream-stream interval join run to completion over the bounded
-    source must equal the batch time-range join (the oracle)."""
+    source must equal the batch time-range join (the oracle).
+    ``progress_out`` (keyword-only in spirit; the driver calls
+    ``fn(spark, sf_dir)``) collects per-batch StreamingQueryProgress
+    dicts for tools/streaming_batches.py."""
     from ..streaming.windows import stream_stream_interval_join
 
     stream = read_events_stream(spark, sf_dir)
-    result = run_to_completion(stream_stream_interval_join(stream), output_mode="append")
+    result = run_to_completion(
+        stream_stream_interval_join(stream),
+        output_mode="append",
+        progress_out=progress_out,
+    )
     return result.select(
         "p_event_id",
         F.col("p_user_id").alias("user_id"),
@@ -547,6 +556,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_incremental_dedup(
     spark: SparkSession, sf_dir: str, bloom_bits: int | None,
     confirm: str = "shuffle",
+    progress_out: list | None = None,
 ) -> DataFrame:
     import tempfile
 
@@ -566,6 +576,8 @@ def _run_incremental_dedup(
         stream, manifest, out, ckpt, bloom_bits=bloom_bits, confirm=confirm
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(p for p in q.recentProgress if p is not None)
     return (
         spark.read.parquet(out)
         .select("doc_id", "fingerprint")
@@ -606,12 +618,16 @@ def _run_incremental_dedup(
     """,
     tags=("streaming", "dedup", "text", "bloom"),
 )
-def streaming_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_incremental_dedup_bloom(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
     """The streaming manifest dedup with the Bloom-prefiltered batch
     body (bloom_bits=2^20): must be value-identical to
     ``streaming_incremental_dedup`` -- the Bloom split only decides
     which rows take the exact-confirm join, never the outcome."""
-    return _run_incremental_dedup(spark, sf_dir, bloom_bits=1 << 20)
+    return _run_incremental_dedup(
+        spark, sf_dir, bloom_bits=1 << 20, progress_out=progress_out
+    )
 
 
 @register(

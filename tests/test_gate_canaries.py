@@ -89,8 +89,13 @@ def test_distinct_parts_gate_flip_changes_plan_shape(spark, sf_dir, monkeypatch)
     monkeypatch.setattr(R, "_distinct_agg_partitions", lambda *a, **k: 64)
     scale = explain_formatted(R.distinct_parts_per_flag(spark, sf_dir))
     assert "Expand" not in scale, "scale branch regressed to the Expand plan"
-    # the explicit co-located repartitions carry the gate's count
-    assert scale.count(", 64), ENSURE_REQUIREMENTS") >= 2 or scale.count("64)") >= 2, scale
+    # the explicit co-located repartitions carry the gate's count: pin
+    # the exact hashpartitioning marker so an unrelated "...64)" in the
+    # plan text can never satisfy the canary
+    import re
+
+    n_parts = len(re.findall(r"hashpartitioning\([^)]*\bl_returnflag[^)]*, 64\)", scale))
+    assert n_parts >= 2, scale
 
 
 def test_minhash_gate_flip_changes_plan_shape(spark, sf_dir, monkeypatch):
@@ -112,4 +117,13 @@ def test_minhash_gate_flip_changes_plan_shape(spark, sf_dir, monkeypatch):
     slim = explain_formatted(M.minhash_banded_near_dups(spark, sf_dir))
     assert slim.count("ShuffledHashJoin") >= 4, (
         "slim branch lost its hinted signature/shingle join-backs:\n" + slim
+    )
+    # r12: the signature rejoin must be fed by the candidate-id
+    # SEMI-FILTER (LeftSemi against the exploded pair-id spine), so its
+    # exchanges scale with candidates rather than corpus x sig bytes.
+    # Two semi joins: the signature prune + the verify-side corpus
+    # prune (prune_verify).
+    assert slim.count("LeftSemi") >= 2, (
+        "slim branch lost the candidate-id semi-filter on the signature "
+        "table (the r12 corpus-bytes fix):\n" + slim
     )
