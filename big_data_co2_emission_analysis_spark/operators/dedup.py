@@ -247,8 +247,9 @@ def ngram_jaccard_pairs(
     ``spark.sql.shuffle.partitions``.  The memory hot spot is the PAIR
     aggregation: exact Jaccard must hold every candidate pair
     (~sum over shingles of C(df,2) entries, measured 113M at sf10 from
-    84 MB of compressed documents) in aggregation hash state, ~60 B an
-    entry -- at 32 partitions that is ~220 MB per task against a
+    84 MB of compressed documents) in aggregation hash state, ~50 B an
+    entry (r12 slimmed the row to (id_a, id_b, s) and the state to
+    count + one F.first) -- at 32 partitions that is ~220 MB per task against a
     ~600 MB execution share, which thrashes through sort-fallback
     (4+ GiB spilled at sf10).  Pick ``agg_partitions ~ candidate_pairs
     * 60 B / 64 MB`` (the sf10 math: 113M * 60 / 64 MiB = ~100;
