@@ -98,23 +98,25 @@ def exact_quantiles(
         base = base.persist(StorageLevel.DISK_ONLY)
 
     # control plane: P*K rows to the driver (partitions x keys, not
-    # data).  Guard BEFORE collecting: the count job forces the persist
-    # above and is a tiny aggregate over it, so the re-run for collect
-    # is cheap; an unguarded collect of a high-cardinality key would
-    # OOM the driver instead of raising.
+    # data).  Guard and collect in ONE job: limit(max+1) caps what can
+    # reach the driver (CollectLimit stops pulling partitions past the
+    # cap, so a runaway high-cardinality key costs one truncated fetch,
+    # never an OOM), and an over-cap result raises.  A separate
+    # guard-count job here used to cost a SECOND full aggregate pass
+    # over the persisted base -- at sf10 (60M rows) that pass was pure
+    # duplicated scan work in every quartiles/curation query.
     ctrl = base.groupBy("_pid", "_k").agg(F.count("*").alias("_c"))
-    n_ctrl = ctrl.count()
-    if n_ctrl > max_control_rows:
+    counts = ctrl.limit(max_control_rows + 1).collect()
+    if len(counts) > max_control_rows:
         if materialize:
             base.unpersist()
         raise ValueError(
-            f"exact_quantiles control plane would collect {n_ctrl} "
-            f"(partition, key) rows > max_control_rows={max_control_rows}; "
+            f"exact_quantiles control plane would collect more than "
+            f"max_control_rows={max_control_rows} (partition, key) rows; "
             "this operator targets few huge groups -- for high-cardinality "
             "keys use the built-in percentile/percentile_approx (parallel "
             "across groups), or raise max_control_rows explicitly."
         )
-    counts = ctrl.collect()
     if not counts:
         # empty or all-null input: no (partition, key) slice exists, so
         # every quantile is undefined -- return an empty, correctly

@@ -873,10 +873,92 @@ def stream_to_parquet(
     return writer.start()
 
 
+def streaming_shuffle_partitions(
+    spark: SparkSession,
+    input_nbytes: int | None,
+    floor: int = 4,
+    per_partition_bytes: int = 8 << 20,
+    cap: int = 8192,
+) -> int | None:
+    """Byte-gated partition count for a streaming query's exchanges and
+    state stores (the ``table_nbytes`` gate family, sources/readers.py).
+
+    Stateful operators instantiate ONE state store per shuffle
+    partition per stateful sub-operator (a stream-stream join holds
+    FOUR per partition), and every store pays fixed per-batch costs --
+    provider load serialized under the global ``loadedProviders`` lock,
+    a coordinator RPC, checkpoint delta commit -- regardless of how
+    many rows it holds.  Measured at sf0.1 (jstack sampling, r12):
+    32-partition state put ~97% of the join stage's executor time into
+    lock/Promise WAITING (525 executor-s vs 4.9 CPU-s), and sizing the
+    state down to the byte gate cut the interval join 8.9 -> 2.0 s
+    with byte-identical results.  The same gate right-sizes foreachBatch
+    bodies, whose micro-batches are input-bounded by construction.
+
+    One partition per 8 MiB of compressed source bytes, floored at
+    ``floor`` (parallelism for the per-row join/agg work), capped at
+    ``cap`` (a 100 TB/day stream should shard its state across ~10^3-4
+    stores, not 10^7 -- beyond the cap, per-store fixed costs dominate
+    again).  ``None`` (keep the session default) when the byte size is
+    unknowable (non-local path).  Production note: this scales with
+    SOURCE bytes as a proxy for state bytes; an unbounded deployment
+    whose watermark retains only a small window of the source should
+    size on expected state instead -- the parameter is exposed."""
+    if input_nbytes is None:
+        return None
+    return max(floor, min(cap, int(input_nbytes // per_partition_bytes)))
+
+
+class _stream_confs:
+    """Set streaming-scoped session confs for the duration of a bounded
+    stream run, restoring priors on exit (the ``rocksdb_state``
+    pattern).  ``state_partitions`` pins ``spark.sql.shuffle.partitions``
+    (which fixes a NEW stream's state partitioning at first checkpoint);
+    ``skip_no_data_batch`` disables no-data micro-batches -- ONLY
+    correct for sinks whose rows are all emitted eagerly in data
+    batches (inner stream-stream joins, complete-mode aggregations,
+    foreachBatch bodies).  Append-mode aggregations and OUTER joins
+    need the no-data finalization batch to emit watermark-closed
+    results -- callers for those MUST leave it True."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_partitions: int | None = None,
+        skip_no_data_batch: bool = False,
+    ):
+        self.spark = spark
+        self.confs: dict[str, str] = {}
+        if state_partitions is not None:
+            self.confs["spark.sql.shuffle.partitions"] = str(state_partitions)
+        if skip_no_data_batch:
+            self.confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
+
+
 def run_to_completion(
     agg: DataFrame,
     output_mode: str = "complete",
     progress_out: list | None = None,
+    state_partitions: int | None = None,
+    skip_no_data_batch: bool = False,
 ) -> DataFrame:
     """Drive a streaming aggregation over a bounded source to its final
     state via an availableNow trigger + memory sink; returns the result
@@ -887,21 +969,28 @@ def run_to_completion(
     per-provider metrics) is appended to it; the LAST entry is the
     final progress, but peak state usually sits in the data batches
     before watermark eviction, so scale evidence should max over all
-    entries (tools/state_scale.py)."""
+    entries (tools/state_scale.py).
+
+    ``state_partitions`` sizes the query's state stores (see
+    :func:`streaming_shuffle_partitions`); ``skip_no_data_batch``
+    drops the trailing no-data micro-batch -- ONLY pass True when the
+    sink's rows are all emitted in data batches (inner joins,
+    complete-mode aggs); see :class:`_stream_confs`."""
+    spark = agg.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_confs(spark, state_partitions, skip_no_data_batch):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         if progress_out is not None:
             progress_out.extend(p for p in q.recentProgress if p is not None)
-        spark = agg.sparkSession
         # materialize before the checkpoint dir vanishes
         result = spark.table(name).localCheckpoint(eager=True)
     return result
