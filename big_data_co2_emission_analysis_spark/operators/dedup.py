@@ -157,6 +157,92 @@ def simhash64(col: Column | str, n_shingles: int = 2) -> Column:
     )
 
 
+def simhash64_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingles: int = 2,
+    chunk_shingles: int = 1 << 18,
+) -> DataFrame:
+    """(id, simhash): the DataFrame-level SimHash path for corpus-scale
+    signing -- value-identical to ``simhash64`` (tests pin parity).
+
+    The Column form's majority vote is S x 64 *interpreted*
+    higher-order-function lambda evaluations per document (zip_with +
+    transform over 64 masks per shingle) -- measured as the dominant
+    cost of the signatures query at sf10 (guide section 4.2: JVM
+    row-at-a-time expression evaluation is slow at bulk bit math).
+    Here the JVM side stops at what it is uniquely good at -- tokenize,
+    shingle, ``xxhash64`` (keeping bit parity with the Column form and
+    the spec-Python oracle) -- and ONLY (id, hash array) crosses the
+    Arrow boundary into a numpy kernel: ``unpackbits`` -> one
+    segmented-cumsum majority vote -> ``packbits``.  Per-doc payload is
+    8 bytes per shingle; no other column ships (the ``select`` below is
+    the guide section 4's explicit projection before an opaque op).
+
+    ``chunk_shingles`` bounds the unpacked bit matrix (S x 64 uint8 +
+    an int32 running sum, ~320 B/shingle: the default caps the kernel's
+    working set at ~80 MB per task regardless of Arrow batch size).
+
+    Null semantics match the Column form: null text -> null signature;
+    empty/short text (no shingles) -> 0.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hashes = F.transform(
+        word_shingles(F.col(text_col), n_shingles), lambda s: F.xxhash64(s)
+    )
+    slim = df.select(F.col(id_col), hashes.alias("__h"))
+    out_schema = StructType([slim.schema.fields[0], StructField("simhash", LongType(), True)])
+
+    def _sign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            ids, lists = rb.column(0), rb.column(1)
+            n = rb.num_rows
+            # physical offsets index the UNSLICED child values buffer,
+            # so this is correct even for sliced/offset arrays
+            off = np.asarray(lists.offsets, dtype=np.int64)
+            vals = np.asarray(lists.values, dtype=np.int64)
+            out = np.zeros(n, dtype=np.int64)
+            lo = 0
+            while lo < n:
+                # grow the doc window until ~chunk_shingles hashes
+                hi = int(np.searchsorted(off, off[lo] + chunk_shingles, side="right"))
+                hi = min(max(hi, lo + 1), n)
+                seg = off[lo : hi + 1] - off[lo]
+                v = vals[off[lo] : off[hi]]
+                if len(v):
+                    # (S, 64) bit matrix, column b == bit b of the hash
+                    bits = np.unpackbits(
+                        v.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                    )
+                    csum = np.zeros((len(v) + 1, 64), dtype=np.int32)
+                    np.cumsum(bits, axis=0, dtype=np.int32, out=csum[1:])
+                    ones = csum[seg[1:]] - csum[seg[:-1]]
+                    cnt = (seg[1:] - seg[:-1])[:, None]
+                    # votes = 2*ones - cnt; bit set iff votes > 0
+                    maj = (2 * ones > cnt).astype(np.uint8)
+                    out[lo:hi] = (
+                        np.packbits(maj, axis=1, bitorder="little")
+                        .view("<u8")
+                        .ravel()
+                        .view(np.int64)
+                    )
+                lo = hi
+            if lists.null_count:
+                sim = pa.array(out, type=pa.int64(), mask=~np.asarray(lists.is_valid()))
+            else:
+                sim = pa.array(out, type=pa.int64())
+            yield pa.RecordBatch.from_arrays([ids, sim], schema=pa.schema(
+                [rb.schema.field(0), pa.field("simhash", pa.int64())]
+            ))
+
+    return slim.mapInArrow(_sign, out_schema)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count(xor))."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -66,9 +66,11 @@ def exact_quantiles(
     is tiny for the FEW-HUGE-GROUPS regime this operator targets but
     unbounded if a caller passes a high-cardinality key (then the
     built-in per-group ``percentile``/``percentile_approx`` is the right
-    tool).  The count is checked with a cheap follow-on job BEFORE
-    collecting; breach raises rather than OOMs the driver (the
-    ``pq_search`` guard pattern, operators/similarity.py)."""
+    tool).  Guard and collect are ONE job: ``limit(max_control_rows +
+    1).collect()`` (CollectLimit stops pulling partitions past the cap,
+    so a runaway high-cardinality key costs one truncated fetch, never a
+    driver OOM) and an over-cap result raises (the ``pq_search`` guard
+    pattern, operators/similarity.py)."""
     if not qs:
         # fail fast: downstream createDataFrame calls would otherwise
         # raise an obscure "can not infer schema from empty dataset"

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.clustering import assemble_features, cluster_summary, fit_kmeans
-from ..operators.dedup import minhash_near_dup_pairs, simhash64
+from ..operators.dedup import minhash_near_dup_pairs, simhash64_frame
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .co2_shaped import user_change_df
 from ..sources.readers import read_documents
@@ -299,9 +299,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (deterministic: xxhash64 seed fixed
     by Spark; pure map-side, no shuffle).  Oracle: expected signatures
     from the independent pure-Python xxHash64 replication (see
-    _TEXT_EXPECTED) -- a JVM-vs-spec cross-implementation check."""
+    _TEXT_EXPECTED) -- a JVM-vs-spec cross-implementation check.
+
+    r13: signs through ``simhash64_frame`` (JVM tokenize/shingle/
+    xxhash64 -> one Arrow boundary -> numpy unpackbits majority vote)
+    -- value-identical to the Column form (parity tests + this oracle);
+    the S x 64 interpreted HOF vote was the query's dominant cost at
+    sf10 (guide section 4.2)."""
     docs = read_documents(spark, sf_dir)
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash64_frame(docs, "doc_id", "text")
 
 
 @register(

@@ -560,13 +560,22 @@ def _stage_document_shards(
     directory EXISTS; re-synthesizing it per run billed fixture prep to
     the streaming operator (~1.5 s/run at sf0.1, 3 corpus scans)."""
     import os
+    import re
     import shutil
     import tempfile
 
     if cache_key is not None and cache_key in _DOC_SHARD_CACHE:
         staged, schema = _DOC_SHARD_CACHE[cache_key]
-        if os.path.isdir(staged):
+        # validate the shard FILES, not just the directory: a /tmp
+        # reaper that removes the files but leaves the dir would make
+        # the file stream silently read zero batches (ADVICE r12)
+        if os.path.isdir(staged) and sum(
+            1
+            for e in os.listdir(staged)
+            if re.fullmatch(r"shard_\d+\.parquet", e)
+        ) == n_shards:
             return staged, schema
+        del _DOC_SHARD_CACHE[cache_key]
     staged = tempfile.mkdtemp(prefix="docs_shards_")
     t0 = os.stat(mtime_anchor).st_mtime
     for b in range(n_shards):

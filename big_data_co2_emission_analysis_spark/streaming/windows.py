@@ -919,7 +919,14 @@ class _stream_confs:
     batches (inner stream-stream joins, complete-mode aggregations,
     foreachBatch bodies).  Append-mode aggregations and OUTER joins
     need the no-data finalization batch to emit watermark-closed
-    results -- callers for those MUST leave it True."""
+    results -- callers for those MUST leave it True.
+
+    These are SESSION-GLOBAL confs (same caveat as
+    ``session.arrow_transfer``): two concurrent streams in one session
+    would cross-contaminate or race on restore -- the engine's callers
+    run streams one at a time from the driver thread, which is the
+    documented operating mode.  A failure mid-``__enter__`` rolls back
+    the keys already applied before re-raising (ADVICE r12)."""
 
     def __init__(
         self,
@@ -936,12 +943,18 @@ class _stream_confs:
         self._saved: dict[str, str | None] = {}
 
     def __enter__(self):
-        for k, v in self.confs.items():
-            try:
-                self._saved[k] = self.spark.conf.get(k)
-            except Exception:
-                self._saved[k] = None
-            self.spark.conf.set(k, v)
+        try:
+            for k, v in self.confs.items():
+                try:
+                    self._saved[k] = self.spark.conf.get(k)
+                except Exception:
+                    self._saved[k] = None
+                self.spark.conf.set(k, v)
+        except BaseException:
+            # roll back whatever was already applied so a failed enter
+            # does not leave the session half-configured
+            self.__exit__()
+            raise
         return self
 
     def __exit__(self, *exc):

@@ -64,6 +64,54 @@ def test_simhash_distance_ordering(corpus):
     assert row["far"] >= 20
 
 
+def test_simhash_frame_parity_with_column_form(spark):
+    """The mapInArrow signing kernel (simhash64_frame) must be
+    bit-identical to the Column form on every edge: normal docs, exact
+    dups, single-word text (no bigram shingles -> 0), empty text (0),
+    whitespace-only text (0), and NULL text (NULL signature)."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import simhash64_frame
+
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, OTHER),
+        (3, BASE),
+        (4, "single"),
+        (5, ""),
+        (6, "   \t\n "),
+        (7, None),
+        (8, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in simhash64_frame(df).collect()}
+    assert got == expected
+    assert got[7] is None  # null text -> null signature
+    assert got[5] == 0 and got[4] == 0  # shingle-less docs -> 0
+
+
+def test_simhash_frame_parity_tiny_chunk(spark):
+    """Chunking the numpy kernel (chunk_shingles smaller than any doc)
+    must not change values -- the doc window always advances by >= 1."""
+    from big_data_co2_emission_analysis_spark.operators.dedup import simhash64_frame
+
+    df = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER)], "doc_id long, text string"
+    )
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64_frame(df, chunk_shingles=1).collect()
+    }
+    assert got == expected
+
+
 def test_ngram_jaccard_exact_values(corpus):
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", min_jaccard=0.3)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
