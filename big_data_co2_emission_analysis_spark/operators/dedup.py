@@ -175,14 +175,22 @@ def simhash64_frame(
     Here the JVM side stops at what it is uniquely good at -- tokenize,
     shingle, ``xxhash64`` (keeping bit parity with the Column form and
     the spec-Python oracle) -- and ONLY (id, hash array) crosses the
-    Arrow boundary into a numpy kernel: ``unpackbits`` -> one
-    segmented-cumsum majority vote -> ``packbits``.  Per-doc payload is
-    8 bytes per shingle; no other column ships (the ``select`` below is
-    the guide section 4's explicit projection before an opaque op).
+    Arrow boundary into a numpy kernel.  Per-doc payload is 8 bytes per
+    shingle; no other column ships (the ``select`` below is the guide
+    section 4's explicit projection before an opaque op).
 
-    ``chunk_shingles`` bounds the unpacked bit matrix (S x 64 uint8 +
-    an int32 running sum, ~320 B/shingle: the default caps the kernel's
-    working set at ~80 MB per task regardless of Arrow batch size).
+    Kernel shape (measured, sf10 microbench per 10k-doc batch): the
+    obvious ``unpackbits`` -> ``cumsum(axis=0)`` segmented vote walks
+    the (S, 64) bit matrix column-strided and ran 2.2 s/batch -- SLOWER
+    than the JVM HOF it replaces; per-BIT ``(h >> b) & 1`` +
+    1-D ``np.add.reduceat`` keeps every pass contiguous and runs
+    0.12 s/batch (18x).  ``reduceat`` quirks are neutralized after the
+    fact: rows with zero shingles (empty segments return an arbitrary
+    element, trailing ones would index out of range) are clamped and
+    zeroed via the segment-length vector.
+
+    ``chunk_shingles`` bounds the kernel's per-pass working set
+    (~10 B/shingle transient) and is exercised down to 1 by tests.
 
     Null semantics match the Column form: null text -> null signature;
     empty/short text (no shingles) -> 0.
@@ -215,16 +223,18 @@ def simhash64_frame(
                 seg = off[lo : hi + 1] - off[lo]
                 v = vals[off[lo] : off[hi]]
                 if len(v):
-                    # (S, 64) bit matrix, column b == bit b of the hash
-                    bits = np.unpackbits(
-                        v.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                    )
-                    csum = np.zeros((len(v) + 1, 64), dtype=np.int32)
-                    np.cumsum(bits, axis=0, dtype=np.int32, out=csum[1:])
-                    ones = csum[seg[1:]] - csum[seg[:-1]]
-                    cnt = (seg[1:] - seg[:-1])[:, None]
+                    u = v.view(np.uint64)
+                    cnt = seg[1:] - seg[:-1]
+                    # clamp trailing empty-segment starts into range;
+                    # their garbage rows are zeroed via cnt below
+                    starts = np.minimum(seg[:-1], len(v) - 1)
+                    ones = np.empty((hi - lo, 64), dtype=np.int64)
+                    for b in range(64):
+                        x = ((u >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                        ones[:, b] = np.add.reduceat(x, starts)
+                    ones[cnt == 0] = 0
                     # votes = 2*ones - cnt; bit set iff votes > 0
-                    maj = (2 * ones > cnt).astype(np.uint8)
+                    maj = (2 * ones > cnt[:, None]).astype(np.uint8)
                     out[lo:hi] = (
                         np.packbits(maj, axis=1, bitorder="little")
                         .view("<u8")

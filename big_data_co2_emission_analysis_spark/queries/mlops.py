@@ -301,13 +301,34 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the independent pure-Python xxHash64 replication (see
     _TEXT_EXPECTED) -- a JVM-vs-spec cross-implementation check.
 
-    r13: signs through ``simhash64_frame`` (JVM tokenize/shingle/
-    xxhash64 -> one Arrow boundary -> numpy unpackbits majority vote)
-    -- value-identical to the Column form (parity tests + this oracle);
+    r13: above ``_SIMHASH_ARROW_MIN_BYTES`` of corpus the signing runs
+    through ``simhash64_frame`` (JVM tokenize/shingle/xxhash64 -> one
+    Arrow boundary -> numpy per-bit reduceat majority vote) --
+    value-identical to the Column form (parity tests + this oracle);
     the S x 64 interpreted HOF vote was the query's dominant cost at
-    sf10 (guide section 4.2)."""
+    sf10 (21.8 -> 8.2 s wall, executor run 296 -> 109 s, same-session
+    A/B).  Below the gate the Column form stays: the Arrow path's fixed
+    per-task Python-worker cost (~0.3 s) exceeds the whole vote on a
+    few-MB corpus (measured 1.11 -> 1.44 s at sf0.1) -- the same
+    byte-gate discipline as the minhash broadcast spine and the
+    streaming state gates (scale-adaptive, not a local[32] constant)."""
+    import os as _os2
+
+    from ..operators.dedup import simhash64
+    from ..sources.readers import table_nbytes
+
     docs = read_documents(spark, sf_dir)
-    return simhash64_frame(docs, "doc_id", "text")
+    nbytes = table_nbytes(_os2.path.join(sf_dir, "documents.parquet"))
+    if nbytes is not None and nbytes >= _SIMHASH_ARROW_MIN_BYTES:
+        return simhash64_frame(docs, "doc_id", "text")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+#: corpus bytes above which the Arrow/numpy SimHash kernel beats the
+#: JVM Column form (the ~0.3 s/task Python boundary amortizes once the
+#: majority vote is seconds of executor time; crossover measured
+#: between sf1 (~30 MB, wash) and sf10 (~300 MB, 2.7x))
+_SIMHASH_ARROW_MIN_BYTES = 64 << 20
 
 
 @register(
