@@ -47,6 +47,7 @@ def scd2_apply(
     key_cols: list[str],
     ts_col: str,
     order_cols: list[str] | None = None,
+    broadcast_max_keys: int = 2_000_000,
 ) -> DataFrame:
     """Apply a CDC update batch to an existing SCD2 dimension.
 
@@ -63,6 +64,20 @@ def scd2_apply(
 
     ``updates`` carries the same key/attr columns plus ``ts_col``
     (no valid_from/valid_to).
+
+    The late-key spine (r13): ``late_keys`` is consumed by SIX joins
+    (closed anti, open anti, updates anti, and the three semi legs),
+    and as a lazy subtree each consumer re-ran its inner join +
+    distinct AND sort-merge-joined against it -- six exchanges of the
+    dim/updates sides for a decision set that is tiny whenever late
+    data is rare (the common CDC case).  It is now eagerly
+    localCheckpointed (computed once; keys-only rows), its MEASURED
+    count -- a cheap block read off the checkpoint -- gates an explicit
+    broadcast (the minhash candidate-spine discipline: never broadcast
+    on estimates), and above ``broadcast_max_keys`` the plan falls back
+    to exactly the previous shuffle shape.  Values are unchanged on
+    both sides of the gate (a checkpoint is a materialization; a
+    broadcast is a join strategy).
     """
     closed = dim.filter(F.col("valid_to").isNotNull())
     open_rows = dim.filter(F.col("valid_to").isNull())
@@ -75,7 +90,10 @@ def scd2_apply(
         .filter(F.col(ts_col) < F.col("__open_from"))
         .select(*key_cols)
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    if late_keys.count() <= broadcast_max_keys:
+        late_keys = F.broadcast(late_keys)
 
     # fast path: untouched closed rows + re-chain of (open + updates)
     closed_ok = closed.join(late_keys, key_cols, "left_anti")

@@ -324,10 +324,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
-#: corpus bytes above which the Arrow/numpy SimHash kernel beats the
-#: JVM Column form (the ~0.3 s/task Python boundary amortizes once the
-#: majority vote is seconds of executor time; crossover measured
-#: between sf1 (~30 MB, wash) and sf10 (~300 MB, 2.7x))
+#: on-disk corpus bytes above which the Arrow/numpy SimHash kernel
+#: beats the JVM Column form (the ~0.3 s/task Python boundary
+#: amortizes once the majority vote is seconds of executor time;
+#: measured: sf0.1 (3 MB) regresses 1.11 -> 1.44 s through it, sf10
+#: (84 MB) improves 21.8 -> 8.2 s -- the gate engages at sf10)
 _SIMHASH_ARROW_MIN_BYTES = 64 << 20
 
 

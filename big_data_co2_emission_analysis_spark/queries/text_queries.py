@@ -1813,9 +1813,37 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers: merely BUILDING this DataFrame (explain/dump_plans)
     # executes the corpus-scale tokenize jobs behind the eager
     # checkpoints; inspect plans at a small SF.
-    per = bm25_per_term(docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B).localCheckpoint(
-        eager=True
-    )
+    # The `per` chain and the `corpus` frame are INDEPENDENT eager
+    # materializations -- building them sequentially left the cluster
+    # idle between two small jobs (guide section 2.6 "overlap
+    # independent jobs"; the job-gap ledger for this query showed the
+    # checkpoint phase as back-to-back sub-second jobs separated by
+    # driver gaps).  Two driver threads submit them concurrently;
+    # values are unchanged (checkpoints are materializations, and each
+    # thread builds an independent plan).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_per():
+        return bm25_per_term(
+            docs, list(_EVAL_TERMS), k1=_BM25_K1, b=_BM25_B
+        ).localCheckpoint(eager=True)
+
+    def _build_corpus():
+        # retrievable corpus with the L2 norm hoisted ONCE per vector
+        # (the exact arm otherwise re-folds the d-element sum per
+        # (row, term): a 6x map-side blowup); shared by exact scan,
+        # IVF cell join, and PQ re-rank -- build-once/search-many
+        return (
+            emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+            .withColumn("__cn", F.sqrt(_sq_norm(F.col("embedding"))))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_per = _pool.submit(_build_per)
+        _f_corpus = _pool.submit(_build_corpus)
+        per = _f_per.result()
+        corpus = _f_corpus.result()
     top1 = grouped_topk(
         per.select("query_term", "doc_id", F.round("score", 6).alias("__s")),
         ["query_term"],
@@ -1828,15 +1856,6 @@ def ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = (
         top1.join(emb, top1["doc_id"] == emb["vec_id"])
         .select("query_term", F.col("embedding").alias("qv"))
-        .localCheckpoint(eager=True)
-    )
-    # retrievable corpus with the L2 norm hoisted ONCE per vector (the
-    # exact arm otherwise re-folds the d-element sum per (row, term):
-    # a 6x map-side blowup); shared by exact scan, IVF cell join, and
-    # PQ re-rank -- the build-once/search-many frame
-    corpus = (
-        emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
-        .withColumn("__cn", F.sqrt(_sq_norm(F.col("embedding"))))
         .localCheckpoint(eager=True)
     )
 
@@ -2966,6 +2985,14 @@ def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plane), the mixture window, and packing's internal jobs all
     # consume it -- without this the LM + rewrite chain re-runs per
     # action (doc_id, source, kept: N x ~24 B, linear)
+    # the mixture's token-budget total rides the checkpoint job as an
+    # observation (r13): sum(kept) is computed DURING the
+    # materialization -- zero extra jobs/scans vs the previous separate
+    # agg().collect() pass over the checkpointed blocks (guide
+    # section 5 driver/scheduling; same value by construction)
+    from pyspark.sql import Observation
+
+    _tot_obs = Observation("curate_v4_total")
     sel = (
         dd.select("doc_id", "source", F.size(toks).cast("long").alias("__n"))
         .join(removed, "doc_id", "left")
@@ -2975,9 +3002,10 @@ def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n") - F.coalesce(F.col("__rm"), F.lit(0))).alias("kept"),
         )
         .filter(F.col("kept") > 0)
+        .observe(_tot_obs, F.sum("kept").alias("total"))
         .localCheckpoint(eager=True)
     )
-    total = sel.agg(F.sum("kept")).collect()[0][0]  # 1-row control plane
+    total = _tot_obs.get["total"]  # 1-row control plane, no extra job
     mix = temperature_mixture(
         sel,
         "source",

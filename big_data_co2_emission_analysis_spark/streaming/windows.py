@@ -474,8 +474,15 @@ def incremental_dedup_batch(
         raise ValueError(f"confirm must be shuffle|broadcast, got {confirm!r}")
     spark = batch_df.sparkSession
     try:
+        # explicit schema (r13): the manifest's shape is fixed by
+        # write_batch_idempotent (fingerprint data column + batch_id
+        # hive partition), so per-batch footer/schema inference is pure
+        # driver latency -- at 3 batches it was one listing + footer
+        # read per batch in the job-gap ledger.  A missing manifest
+        # path still raises (first batch), keeping base_exists=False.
         base = (
-            spark.read.parquet(manifest_path)
+            spark.read.schema("fingerprint string, batch_id int")
+            .parquet(manifest_path)
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select("fingerprint")
         )
@@ -523,37 +530,23 @@ def incremental_dedup_batch(
     kept = kept.persist()
     write_batch_idempotent(kept, batch_id, out_path)
     write_batch_idempotent(kept.select("fingerprint"), batch_id, manifest_path)
-    kept.unpersist()
     if bloom_bits is not None:
         # On bootstrap (filter enabled mid-stream, or geometry changed:
         # no USABLE prior snapshot) the published bitmap must cover the
         # WHOLE manifest, not just this batch -- otherwise the next
         # batch trusts it as cumulative and admits duplicates of every
-        # pre-enablement document.  The delta source is the manifest
-        # partition just written (identical content to kept, but a
-        # one-partition parquet scan -- the snapshot job then costs a
-        # tiny scan + the sparse build instead of re-walking the
-        # broadcast-join plan through the cache).
-        # an all-empty-batches manifest dir holds only _SUCCESS (a
-        # 0-row dynamic-overwrite write creates no partition dirs) and
-        # spark.read.parquet would fail schema inference -- fall back
-        # to kept's (empty) fingerprints; lazy recompute is correct,
-        # see the persist comment above
-        has_parts = any(
-            e.startswith("batch_id=")
-            for e in _list_state_dir(manifest_path, spark) or []
-        )
-        just_written = (
-            spark.read.parquet(manifest_path)
-            .filter(F.col("batch_id") == F.lit(batch_id))
-            .select("fingerprint")
-            if has_parts
-            else kept.select("fingerprint")
-        )
+        # pre-enablement document.  The delta source is kept's STILL-
+        # CACHED blocks (r13; the publish runs before the unpersist):
+        # identical content to the manifest partition just written, and
+        # the snapshot job costs one cached-block scan -- the previous
+        # shape re-read the manifest parquet per batch (listing +
+        # schema) just to avoid re-walking the batch plan, which the
+        # live cache already guarantees.
         _publish_bloom_snapshot(
-            just_written, batch_id, manifest_path, bloom_bits,
+            kept.select("fingerprint"), batch_id, manifest_path, bloom_bits,
             bootstrap_base=base if bloom_bootstrap else None,
         )
+    kept.unpersist()
     return stats
 
 
@@ -758,8 +751,8 @@ def _publish_bloom_snapshot(
         # positions, one narrow job) -- but its transfer grows with the
         # KEY count (~16 B x 6 positions/key), so a corpus-sized first
         # batch must take the dense word-aggregate instead (transfer
-        # bounded by m/4 bytes regardless of keys).  The count is a
-        # parquet metadata read of the just-written partition.
+        # bounded by m/4 bytes regardless of keys).  The count reads
+        # the caller's still-cached kept blocks (r13).
         n_delta = kept.count()
         if n_delta * 384 < bloom_bits:
             delta, m, _k = build_bloom_bitmap_sparse(

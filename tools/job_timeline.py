@@ -21,6 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--no-warm", action="store_true", help="skip the throwaway run")
+    ap.add_argument("--warmups", type=int, default=1, help="throwaway runs before the measured one")
     ap.add_argument("name")
     args = ap.parse_args()
 
@@ -48,8 +49,9 @@ def main() -> None:
         return time.perf_counter() - t0
 
     if not args.no_warm:
-        run()  # compile/JIT off the clock, matching bench warm iterations
-        sweep()
+        for _ in range(max(1, args.warmups)):
+            run()  # compile/JIT off the clock, matching bench warm iterations
+            sweep()
 
     _drain_listener_bus(spark)
     store = spark.sparkContext._jsc.sc().statusStore()
